@@ -1,13 +1,148 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.cast.CastPlanner
+import graft.spec._
+import graft.validate._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises a library operator (SURVEY.md §2) against
+  * the driver-generated parquet tables; `oracleSql` holds the DuckDB
+  * equivalent for the correctness gate. Column names/aliases match between
+  * both sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** documents table spec: all columns required (FIXTURES.md shapes). */
+  private val documentsSpec = TableSpec("documents", Seq(
+    ColumnSpec("doc_id", LongType),
+    ColumnSpec("text", StringType),
+    ColumnSpec("lang", StringType),
+    ColumnSpec("source", StringType),
+    ColumnSpec("n_chars", LongType)),
+    keyCols = Seq("doc_id"), partitionCols = Seq("lang"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q01_null_summary")(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // RowValidator summary (§2.4 #43-45): per-partition pass/fail counts
+    "q01_null_summary" -> ((s, dir) => {
+      val run = RowValidator.validate(tbl(s, dir, "documents"), documentsSpec)
+      run.summary.select(col("lang"), col("total_rows"), col("error_rows"),
+        col("valid_rows"))
+    }),
+
+    // Range constraint violations (§2.5), north-rule violation shape
+    "q02_range_violations" -> ((s, dir) => {
+      val c = Maximum(0.05)
+      tbl(s, dir, "lineitem")
+        .where(!c.holds(col("l_discount")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lit("maximum").as("constraint_id"),
+          col("l_discount").as("observed_value"))
+    }),
+
+    // UniquenessCheck (§2.5 is_unique enforcement): duplicate keys
+    "q03_unique_violations" -> ((s, dir) =>
+      UniquenessCheck.duplicateKeys(tbl(s, dir, "orders"), Seq("o_custkey"))),
+
+    // UniquenessCheck on a true PK — expected empty (negative control)
+    "q04_unique_pk_clean" -> ((s, dir) =>
+      UniquenessCheck.duplicateKeys(tbl(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber"))),
+
+    // ReferentialCheck orphans (north rule): orders with no lineitems
+    "q05_ref_orphans" -> ((s, dir) => {
+      val catalog = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"))
+      ReferentialCheck.orphans(tbl(s, dir, "orders"), catalog, Seq("o_orderkey"))
+    }),
+
+    // ReferentialCheck per-group summary
+    "q06_ref_summary" -> ((s, dir) => {
+      val catalog = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"))
+      ReferentialCheck.summary(tbl(s, dir, "orders"), catalog, "o_orderkey",
+        Seq("o_orderstatus"))
+    }),
+
+    // ColumnStats profile (north rule "column stats"), oracle-safe subset
+    "q07_colstats" -> ((s, dir) =>
+      ColumnStats.profile(tbl(s, dir, "lineitem"), Seq("l_quantity"),
+        Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("total_rows"),
+          col("l_quantity_min").as("q_min"), col("l_quantity_max").as("q_max"),
+          round(col("l_quantity_avg"), 6).as("q_avg"))),
+
+    // CastPlanner (§2.3 #31-41): stringified columns → typed, strict
+    "q08_cast_roundtrip" -> ((s, dir) => {
+      val raw = tbl(s, dir, "events").select(
+        col("event_id"),
+        col("user_id").cast(StringType).as("uid_str"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d_str"),
+        when(col("event_type") === "error", "yes").otherwise("no").as("is_err"))
+      val spec = TableSpec("events_cast", Seq(
+        ColumnSpec("event_id", LongType),
+        ColumnSpec("uid_str", LongType),
+        ColumnSpec("d_str", DateType), // default %Y-%m-%d
+        ColumnSpec("is_err", BooleanType,
+          boolTrueString = "yes", boolFalseString = "no")))
+      // date re-rendered as ISO string: parquet DATE vs DuckDB DATE hash
+      // representations differ across readers; strings are unambiguous
+      CastPlanner(raw, spec)
+        .select(col("event_id"), col("uid_str"),
+          date_format(col("d_str"), "yyyy-MM-dd").as("d_iso"), col("is_err"))
+    }),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_null_summary" ->
+      """SELECT lang, COUNT(*) AS total_rows,
+        | CAST(SUM(CASE WHEN doc_id IS NULL OR text IS NULL OR lang IS NULL
+        |   OR source IS NULL OR n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS error_rows,
+        | COUNT(*) - CAST(SUM(CASE WHEN doc_id IS NULL OR text IS NULL
+        |   OR lang IS NULL OR source IS NULL OR n_chars IS NULL THEN 1 ELSE 0
+        |   END) AS BIGINT) AS valid_rows
+        |FROM documents GROUP BY lang""".stripMargin,
+    "q02_range_violations" ->
+      """SELECT l_orderkey, l_linenumber, 'maximum' AS constraint_id,
+        | l_discount AS observed_value
+        |FROM lineitem WHERE NOT (l_discount <= 0.05)""".stripMargin,
+    "q03_unique_violations" ->
+      """SELECT o_custkey, COUNT(*) AS dup_count FROM orders
+        |GROUP BY o_custkey HAVING COUNT(*) > 1""".stripMargin,
+    "q04_unique_pk_clean" ->
+      """SELECT l_orderkey, l_linenumber, COUNT(*) AS dup_count FROM lineitem
+        |GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1""".stripMargin,
+    "q05_ref_orphans" ->
+      """SELECT o_orderkey FROM orders o WHERE NOT EXISTS
+        | (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)""".stripMargin,
+    "q06_ref_summary" ->
+      """SELECT o_orderstatus, COUNT(*) AS total_rows,
+        | CAST(SUM(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS orphan_rows
+        |FROM orders o GROUP BY o_orderstatus""".stripMargin,
+    "q07_colstats" ->
+      """SELECT l_returnflag, COUNT(*) AS total_rows, MIN(l_quantity) AS q_min,
+        | MAX(l_quantity) AS q_max, ROUND(AVG(l_quantity), 6) AS q_avg
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q08_cast_roundtrip" ->
+      """SELECT event_id, CAST(TRIM(CAST(user_id AS VARCHAR)) AS BIGINT) AS uid_str,
+        | STRFTIME(CAST(STRFTIME(ts, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS d_iso,
+        | (event_type = 'error') AS is_err
+        |FROM events""".stripMargin,
+  )
 }

@@ -1,0 +1,144 @@
+package graft.spec
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Declarative per-column constraint vocabulary.
+  *
+  * Mirrors the constraint keys the reference compares schema-vs-schema
+  * (`/root/reference/src/fastdataframe/core/types.py:53-83`: minimum, maximum,
+  * exclusiveMinimum, exclusiveMaximum, multipleOf, minLength, maxLength,
+  * pattern, minItems, maxItems, uniqueItems) plus the `ColumnInfo` fields
+  * (`core/annotation.py:20-23`) and `NotNull` (derived from non-Optional,
+  * `polars/model.py:397-408`). The reference never enforces these against
+  * *data* (`polars/model.py:388` "Future versions will support additional
+  * validation rules"); here every constraint compiles to a codegen-friendly
+  * Catalyst predicate via [[Constraint.holds]] so a single distributed
+  * projection evaluates the full suite per row.
+  *
+  * Null semantics: every constraint except [[NotNull]] passes on NULL input —
+  * nullability is exclusively NotNull's job, so constraints compose without
+  * double-reporting a null row.
+  */
+sealed trait Constraint extends Serializable {
+  /** Stable identifier used in violation rows (north rule:
+    * `(clip_id, constraint_id, observed_value)`). */
+  def id: String
+
+  /** Predicate that is TRUE iff the value passes this constraint.
+    * Must never evaluate to NULL (so `!holds` is a safe violation filter). */
+  def holds(c: Column): Column
+
+  /** Non-null-aware core predicate; wrapped by [[holds]]. */
+  protected def pred(c: Column): Column
+
+  /** JSON-schema constraint key/value for the subset lattice; None if the
+    * constraint has no JSON-schema counterpart. */
+  def jsonKey: Option[(String, Any)] = None
+}
+
+/** Base for constraints that pass on NULL. */
+sealed trait NullPassing extends Constraint {
+  final def holds(c: Column): Column = c.isNull || coalesce(pred(c), lit(false))
+}
+
+/** Required (non-Optional) field — ref `polars/model.py:411-425`,
+  * error_type "null_in_required_field". */
+case object NotNull extends Constraint {
+  val id = "not_null"
+  protected def pred(c: Column): Column = c.isNotNull
+  def holds(c: Column): Column = c.isNotNull
+}
+
+/** value >= v — JSON-schema `minimum` (`core/types.py:53`). */
+final case class Minimum(v: Double) extends NullPassing {
+  val id = "minimum"
+  protected def pred(c: Column): Column = c >= lit(v)
+  override def jsonKey = Some("minimum" -> v)
+}
+
+/** value <= v — JSON-schema `maximum`. */
+final case class Maximum(v: Double) extends NullPassing {
+  val id = "maximum"
+  protected def pred(c: Column): Column = c <= lit(v)
+  override def jsonKey = Some("maximum" -> v)
+}
+
+/** value > v — JSON-schema `exclusiveMinimum`. */
+final case class ExclusiveMinimum(v: Double) extends NullPassing {
+  val id = "exclusive_minimum"
+  protected def pred(c: Column): Column = c > lit(v)
+  override def jsonKey = Some("exclusiveMinimum" -> v)
+}
+
+/** value < v — JSON-schema `exclusiveMaximum`. */
+final case class ExclusiveMaximum(v: Double) extends NullPassing {
+  val id = "exclusive_maximum"
+  protected def pred(c: Column): Column = c < lit(v)
+  override def jsonKey = Some("exclusiveMaximum" -> v)
+}
+
+/** value % v == 0 — JSON-schema `multipleOf` (`core/types.py:66-71`). */
+final case class MultipleOf(v: Long) extends NullPassing {
+  require(v != 0, "multipleOf divisor must be non-zero")
+  val id = "multiple_of"
+  protected def pred(c: Column): Column = (c % lit(v)) === lit(0)
+  override def jsonKey = Some("multipleOf" -> v)
+}
+
+/** length(value) >= n — JSON-schema `minLength` (`core/types.py:215-217`). */
+final case class MinLength(n: Int) extends NullPassing {
+  val id = "min_length"
+  protected def pred(c: Column): Column = length(c) >= lit(n)
+  override def jsonKey = Some("minLength" -> n)
+}
+
+/** length(value) <= n — JSON-schema `maxLength`. */
+final case class MaxLength(n: Int) extends NullPassing {
+  val id = "max_length"
+  protected def pred(c: Column): Column = length(c) <= lit(n)
+  override def jsonKey = Some("maxLength" -> n)
+}
+
+/** value RLIKE regex — JSON-schema `pattern` (`core/types.py:72-77`). */
+final case class Pattern(regex: String) extends NullPassing {
+  val id = "pattern"
+  protected def pred(c: Column): Column = c.rlike(regex)
+  override def jsonKey = Some("pattern" -> regex)
+}
+
+/** value ∈ values — JSON-schema `enum`. Spec-level vocabulary check
+  * (e.g. codec ∈ {pcm_s16le, flac, opus, mp3} per FIXTURES.md §1). */
+final case class InSet(values: Seq[Any]) extends NullPassing {
+  val id = "in_set"
+  protected def pred(c: Column): Column = c.isin(values: _*)
+  override def jsonKey = Some("enum" -> values)
+}
+
+/** size(array) >= n — JSON-schema `minItems` (`core/types.py:86-104`). */
+final case class MinItems(n: Int) extends NullPassing {
+  val id = "min_items"
+  protected def pred(c: Column): Column = size(c) >= lit(n)
+  override def jsonKey = Some("minItems" -> n)
+}
+
+/** size(array) <= n — JSON-schema `maxItems`. */
+final case class MaxItems(n: Int) extends NullPassing {
+  val id = "max_items"
+  protected def pred(c: Column): Column = size(c) <= lit(n)
+  override def jsonKey = Some("maxItems" -> n)
+}
+
+/** array elements pairwise distinct — JSON-schema `uniqueItems`. */
+case object UniqueItems extends NullPassing {
+  val id = "unique_items"
+  protected def pred(c: Column): Column = size(array_distinct(c)) === size(c)
+  override def jsonKey = Some("uniqueItems" -> true)
+}
+
+/** Arbitrary SQL predicate escape hatch; `mkPred` must be a pure Column
+  * function of the column (used e.g. for the dur_ms>0 AND dur_ms<=30000
+  * compound in one constraint id). */
+final case class Check(id: String, mkPred: Column => Column) extends NullPassing {
+  protected def pred(c: Column): Column = mkPred(c)
+}
