@@ -1,6 +1,7 @@
 package graft
 
 import graft.cast.CastPlanner
+import graft.io.ClipsGenerator
 import graft.spec._
 import graft.validate._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -28,9 +29,17 @@ object SparkEntry {
     ColumnSpec("n_chars", LongType)),
     keyCols = Seq("doc_id"), partitionCols = Seq("lang"))
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Clip count for the synthetic north-rule table, scaled off the sf dir
+    * so Verify (sf0.01) stays snappy and Bench (sf0.1) has real volume. */
+  private def clipCount(dir: String): Long =
+    if (dir.contains("sf0.1")) 200000L
+    else if (dir.contains("sf0.01")) 20000L
+    else 5000L
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
+    * north-rule validation summary over the synthetic clips table. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_null_summary")(spark, "/root/testdata/sf0.001")
+    queries("q20_clips_validate_summary")(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -101,6 +110,54 @@ object SparkEntry {
       CastPlanner(raw, spec)
         .select(col("event_id"), col("uid_str"),
           date_format(col("d_str"), "yyyy-MM-dd").as("d_iso"), col("is_err"))
+    }),
+
+    // ---- north-rule clips pipeline (synthetic table; rows-only checks —
+    // DuckDB cannot reproduce the generator, so no oracleSql entries) ----
+
+    // Full row-constraint suite → per-codec pass/fail summary
+    "q20_clips_validate_summary" -> ((s, dir) => {
+      val clips = ClipsGenerator.clips(s, clipCount(dir), withErrors = true)
+      RowValidator.validate(clips.toDF(), ClipsGenerator.spec)
+        .summary.drop("violations_by_constraint")
+    }),
+
+    // North-rule violation rows (clip_id, constraint_id, observed_value)
+    "q21_clips_violations" -> ((s, dir) => {
+      val clips = ClipsGenerator.clips(s, clipCount(dir), withErrors = true)
+      RowValidator.validate(clips.toDF(), ClipsGenerator.spec).violations
+    }),
+
+    // is_unique enforcement on clip_id (injected duplicates found)
+    "q22_clips_unique" -> ((s, dir) =>
+      UniquenessCheck.duplicateKeys(
+        ClipsGenerator.clips(s, clipCount(dir), withErrors = true).toDF(),
+        Seq("clip_id"))),
+
+    // Referential integrity vs the transcript catalog (broadcast semi-join)
+    "q23_clips_ref_orphans" -> ((s, dir) => {
+      val n = clipCount(dir)
+      ReferentialCheck.orphans(
+        ClipsGenerator.clips(s, n).toDF(),
+        ClipsGenerator.catalog(s, n), Seq("clip_id"), broadcastCatalog = true)
+    }),
+
+    // Distribution drift per codec vs the reference dur_ms digest
+    "q24_clips_drift" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val clips = ClipsGenerator.clips(s, n).toDF()
+      val ref = DriftCheck.digest(clips, "dur_ms")
+      DriftCheck.compareGroups(clips, "dur_ms", Seq("codec"), ref)
+        .select(col("codec"), round(col("ks"), 4).as("ks"),
+          round(col("psi"), 4).as("psi"), col("drifted"))
+    }),
+
+    // Sampled audio-decode invariant (SNR≥30dB + transcript equality)
+    "q25_clips_audio_invariant" -> ((s, dir) => {
+      val n = clipCount(dir)
+      AudioInvariantCheck.summary(
+        ClipsGenerator.clips(s, n, withErrors = true).toDF(),
+        ClipsGenerator.catalog(s, n), sampleEvery = 10)
     }),
   )
 

@@ -1,0 +1,156 @@
+package graft.audio
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM WAV (RIFF/PCM s16le mono) synth + decode — the audio payload
+  * path for the north rule's per-row invariant ("decoded-PCM allclose
+  * (SNR≥30dB) + transcript equality"). Deterministic: synthesis is a pure
+  * function of (freq, durMs, srHz), so the reference PCM can be re-derived
+  * on any executor without shipping goldens (SURVEY.md §7.4 risk 6).
+  *
+  * Only PCM WAV is genuinely decoded. Compressed codecs (flac/opus/mp3)
+  * would need codec libraries that are not in this container — decode for
+  * those is a clearly-marked deterministic STUB (see [[AudioCodec.decode]]);
+  * the Spark-side plumbing (binary column, sampled UDF, partition summary)
+  * is real and tested.
+  */
+object WavCodec {
+
+  /** Mono 16-bit PCM sine, amplitude 0..1, little-endian RIFF container. */
+  def synthSine(freqHz: Double, durMs: Int, srHz: Int, amplitude: Double = 0.5): Array[Byte] = {
+    val nSamples = math.max(0, (srHz.toLong * durMs / 1000).toInt)
+    val dataSize = nSamples * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(srHz)
+      .putInt(srHz * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    val scale = amplitude * Short.MaxValue
+    var i = 0
+    while (i < nSamples) {
+      val v = math.sin(2.0 * math.Pi * freqHz * i / srHz) * scale
+      buf.putShort(math.round(v).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE container; returns (sampleRateHz, samples). Walks
+    * chunks (fmt /data) rather than assuming a 44-byte header. */
+  def decodePcm16(wav: Array[Byte]): (Int, Array[Short]) = {
+    require(wav.length >= 12, "not a RIFF file: too short")
+    val buf = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", "not a RIFF file")
+    buf.getInt // riff size
+    require(tag() == "WAVE", "not a WAVE file")
+    var srHz = -1
+    var bitsPerSample = -1
+    var samples: Array[Short] = null
+    while (buf.remaining() >= 8 && samples == null) {
+      val chunk = tag()
+      val size = buf.getInt
+      chunk match {
+        case "fmt " =>
+          val fmtStart = buf.position()
+          val audioFormat = buf.getShort
+          require(audioFormat == 1, s"not PCM: audioFormat=$audioFormat")
+          val channels = buf.getShort
+          require(channels == 1, s"expected mono, got $channels channels")
+          srHz = buf.getInt
+          buf.getInt // byte rate
+          buf.getShort // block align
+          bitsPerSample = buf.getShort
+          require(bitsPerSample == 16, s"expected s16le, got $bitsPerSample bits")
+          buf.position(fmtStart + size)
+        case "data" =>
+          require(srHz > 0, "data chunk before fmt chunk")
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = buf.getShort; i += 1 }
+        case _ =>
+          buf.position(buf.position() + size + (size & 1))
+      }
+    }
+    require(samples != null, "no data chunk found")
+    (srHz, samples)
+  }
+
+  /** Signal-to-noise ratio in dB of `decoded` vs `reference`; identical
+    * signals → capped at [[MaxSnrDb]]; length mismatch → -inf (fails any
+    * threshold). */
+  val MaxSnrDb = 120.0
+  def snrDb(reference: Array[Short], decoded: Array[Short]): Double = {
+    if (reference.length != decoded.length) return Double.NegativeInfinity
+    var sig = 0.0
+    var noise = 0.0
+    var i = 0
+    while (i < reference.length) {
+      val r = reference(i).toDouble
+      val d = decoded(i).toDouble
+      sig += r * r
+      noise += (r - d) * (r - d)
+      i += 1
+    }
+    if (noise == 0.0) MaxSnrDb
+    else if (sig == 0.0) Double.NegativeInfinity
+    else math.min(MaxSnrDb, 10.0 * math.log10(sig / noise))
+  }
+}
+
+/** Codec dispatch for the `codec` column. */
+object AudioCodec {
+
+  /** Decode `bytes` to (srHz, PCM s16). `pcm_s16le` (WAV container) is a
+    * real parse; compressed codecs are a DETERMINISTIC FAKE (??? at scale:
+    * would shell out to a real decoder library): the synthetic generator
+    * writes WAV bytes for every codec value, so the fake path simply
+    * delegates to the WAV parser — kept separate so swapping in real
+    * flac/opus/mp3 decoders is a one-line change per codec. */
+  def decode(bytes: Array[Byte], codec: String): (Int, Array[Short]) = codec match {
+    case "pcm_s16le" => WavCodec.decodePcm16(bytes)
+    case "flac" | "opus" | "mp3" =>
+      // STUB: no codec libs in this container; synthetic data stores WAV
+      // bytes for all codec labels (ClipsGenerator), so parse as WAV.
+      WavCodec.decodePcm16(bytes)
+    case other => throw new IllegalArgumentException(s"unknown codec: $other")
+  }
+
+  /** Frame-sample: every `hop`-th frame of `frameLen` samples — the
+    * multimodal feature-extraction shape (real plumbing, trivial features). */
+  def frameSample(samples: Array[Short], frameLen: Int, hop: Int): Array[Array[Short]] =
+    samples.sliding(frameLen, hop).filter(_.length == frameLen).map(_.toArray).toArray
+
+  /** Per-frame RMS energy — a deterministic audio feature for tests. */
+  def frameRms(samples: Array[Short], frameLen: Int, hop: Int): Array[Double] =
+    frameSample(samples, frameLen, hop).map { f =>
+      math.sqrt(f.map(s => s.toDouble * s).sum / f.length)
+    }
+
+  /** Naive linear resample to `tgtHz` — real plumbing for a resize/resample
+    * stage (quality is not the point; determinism is). */
+  def resampleLinear(samples: Array[Short], srcHz: Int, tgtHz: Int): Array[Short] = {
+    if (srcHz == tgtHz || samples.isEmpty) return samples
+    val outLen = math.max(1, (samples.length.toLong * tgtHz / srcHz).toInt)
+    val out = new Array[Short](outLen)
+    var i = 0
+    while (i < outLen) {
+      val pos = i.toDouble * srcHz / tgtHz
+      val i0 = math.min(samples.length - 1, pos.toInt)
+      val i1 = math.min(samples.length - 1, i0 + 1)
+      val frac = pos - i0
+      out(i) = math.round(samples(i0) * (1 - frac) + samples(i1) * frac).toShort
+      i += 1
+    }
+    out
+  }
+}

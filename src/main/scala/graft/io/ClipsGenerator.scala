@@ -1,0 +1,150 @@
+package graft.io
+
+import graft.audio.WavCodec
+import graft.spec._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One row of the north-rule input table (`BASELINE.json` input_hint):
+  * `(clip_id:string, bytes:binary, sr_hz:int32, dur_ms:int32, codec:string,
+  * transcript:string)`. */
+final case class Clip(
+    clip_id: String,
+    bytes: Array[Byte],
+    sr_hz: Int,
+    dur_ms: Int,
+    codec: String,
+    transcript: String,
+)
+
+/** Deterministic synthetic clips table per FIXTURES.md §1 — a pure function
+  * of the row index (seed-42 word list), so any executor can re-derive the
+  * reference signal for the decode invariant and runs are reproducible
+  * across parallelism levels (the N-vs-4N scaling evidence requires
+  * identical input).
+  *
+  * Generation is `spark.range(n).mapPartitions` — embarrassingly parallel,
+  * no shuffle, no driver materialization; at 10^12 rows this is exactly how
+  * a synthetic load generator would run on a cluster.
+  */
+object ClipsGenerator {
+
+  val Codecs: Array[String] = Array("pcm_s16le", "flac", "opus", "mp3")
+  val SampleRates: Array[Int] = Array(8000, 22050, 44100, 48000)
+
+  /** Seeded word list (seed=42 convention, TESTDATA.md). */
+  val Words: Array[String] = Array(
+    "the", "audio", "clip", "speech", "noise", "signal", "sample", "frame",
+    "voice", "sound", "token", "word", "quiet", "loud", "clear", "model",
+    "data", "test", "batch", "wave", "tone", "pitch", "echo", "mono")
+
+  /** 64-bit mix (splitmix64 finalizer) — deterministic pseudo-hash of i. */
+  def mix(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e9b5L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def clipId(i: Long): String = f"clip-$i%012d"
+
+  /** 60% mass on 16000 Hz (the hot key for salting exercises), rest spread. */
+  def srHz(i: Long): Int =
+    if (i % 10 < 6) 16000 else SampleRates(((i / 10) % 4).toInt)
+
+  def durMs(i: Long): Int = (200 + (i * 37) % 9800).toInt
+
+  /** Codec skewed 70/15/10/5 — the hot-partition axis. */
+  def codec(i: Long): String = {
+    val p = math.floorMod(mix(i), 100L)
+    if (p < 70) Codecs(0) else if (p < 85) Codecs(1)
+    else if (p < 95) Codecs(2) else Codecs(3)
+  }
+
+  def transcript(i: Long): String = {
+    val len = (1 + i % 12).toInt
+    val sb = new StringBuilder
+    var k = 0
+    while (k < len) {
+      if (k > 0) sb.append(' ')
+      sb.append(Words(math.floorMod(mix(i * 31 + k), Words.length.toLong).toInt))
+      k += 1
+    }
+    sb.toString
+  }
+
+  def freqHz(i: Long): Double = 220.0 + (i % 880)
+
+  /** Reference PCM for clip i — what the decode invariant compares against.
+    * `maxSynthMs` caps the synthesized signal length so bulk generation
+    * stays ~O(KB)/row (the dur_ms COLUMN keeps its nominal value; both synth
+    * and reference use the same cap, so the invariant is exact). */
+  def referenceBytes(i: Long, maxSynthMs: Int): Array[Byte] =
+    WavCodec.synthSine(freqHz(i), math.min(durMs(i), maxSynthMs), srHz(i))
+
+  /** Build one clean clip. */
+  def clip(i: Long, maxSynthMs: Int = 50): Clip =
+    Clip(clipId(i), referenceBytes(i, maxSynthMs), srHz(i), durMs(i),
+      codec(i), transcript(i))
+
+  /** Error injection per FIXTURES.md §1: null transcript (i%1000==7),
+    * duplicate clip_id (i%5000==11 reuses i-1's id), out-of-range
+    * sr_hz=96000 (i%5000==13), plus corrupted audio bytes (i%5000==17,
+    * truncated signal → SNR fail) and a transcript perturbation
+    * (i%5000==19 → catalog mismatch). */
+  def injectErrors(c: Clip, i: Long): Clip = {
+    var out = c
+    if (i % 1000 == 7) out = out.copy(transcript = null)
+    if (i % 5000 == 11 && i > 0) out = out.copy(clip_id = clipId(i - 1))
+    if (i % 5000 == 13) out = out.copy(sr_hz = 96000)
+    if (i % 5000 == 17) out = out.copy(bytes = {
+      val b = out.bytes.clone()
+      // zero the back half of the data chunk: decodes fine, SNR collapses
+      var k = 44 + (b.length - 44) / 2
+      while (k < b.length) { b(k) = 0; k += 1 }
+      b
+    })
+    if (i % 5000 == 19) out = out.copy(transcript = out.transcript + " corrupted")
+    out
+  }
+
+  /** The distributed table. */
+  def clips(spark: SparkSession, n: Long, numPartitions: Int = 32,
+      withErrors: Boolean = false, maxSynthMs: Int = 50): Dataset[Clip] = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).as[Long].map { i =>
+      val c = clip(i, maxSynthMs)
+      if (withErrors) injectErrors(c, i) else c
+    }
+  }
+
+  /** Referential catalog `(clip_id, transcript)` from the same generator —
+    * with a deterministic 0.1% subset DROPPED (i%1000==3) so the referential
+    * check has true orphans to find. */
+  def catalog(spark: SparkSession, n: Long, numPartitions: Int = 32): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, numPartitions).as[Long]
+      .filter(i => i % 1000 != 3)
+      .map(i => (clipId(i), transcript(i)))
+      .toDF("clip_id", "transcript")
+  }
+
+  /** The declarative spec for the clips table — the full constraint suite of
+    * FIXTURES.md §1 (north rule: nullability, range, regex, set membership;
+    * uniqueness via `isUnique`; referential + drift + decode handled by the
+    * dedicated checks). */
+  val spec: TableSpec = TableSpec("clips", Seq(
+    ColumnSpec("clip_id", StringType, isUnique = true,
+      constraints = Seq(Pattern("^clip-[0-9]{12}$"))),
+    ColumnSpec("bytes", BinaryType),
+    ColumnSpec("sr_hz", IntegerType,
+      constraints = Seq(Minimum(8000), Maximum(48000),
+        InSet(Seq(8000, 16000, 22050, 44100, 48000)))),
+    ColumnSpec("dur_ms", IntegerType,
+      constraints = Seq(ExclusiveMinimum(0), Maximum(30000))),
+    ColumnSpec("codec", StringType,
+      constraints = Seq(InSet(Codecs.toSeq))),
+    ColumnSpec("transcript", StringType,
+      constraints = Seq(MinLength(1)))),
+    keyCols = Seq("clip_id"), partitionCols = Seq("codec"))
+}

@@ -1,0 +1,68 @@
+package graft.validate
+
+import graft.audio.{AudioCodec, WavCodec}
+import graft.io.ClipsGenerator
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-row audio invariant (north rule: "a lightweight audio-decode
+  * invariant check (decoded-PCM SNR≥30dB vs reference, transcript string
+  * equality) validates a sampled subset per partition").
+  *
+  * Sampling is DETERMINISTIC — `xxhash64(clip_id) pmod sampleEvery == 0` —
+  * so reruns and different cluster sizes check the identical subset, and the
+  * filter runs BEFORE decode, so only ~1/sampleEvery of the binary payload
+  * is ever decoded (the scan itself still reads `bytes`, but parquet page
+  * skipping on the hash filter is not possible — at real scale this check
+  * rides along the main validation scan rather than its own).
+  *
+  * Decode runs in a Scala UDF: it is the one non-codegen expression in the
+  * engine, confined to the sampled subset by design (SURVEY.md §4.2).
+  * The reference PCM is re-synthesized from the clip's own id (pure function
+  * of the row index — ClipsGenerator), so no golden files ship to executors.
+  */
+object AudioInvariantCheck {
+
+  val DefaultSnrThresholdDb = 30.0
+
+  /** (clip_id, codec, snr_db, snr_ok, transcript_ok) for the sampled subset.
+    * `catalog` provides reference transcripts (joined broadcast/SMJ by
+    * Catalyst+AQE based on size). */
+  def check(clips: DataFrame, catalog: DataFrame, sampleEvery: Int = 100,
+      snrThresholdDb: Double = DefaultSnrThresholdDb,
+      maxSynthMs: Int = 50): DataFrame = {
+    val snrUdf = udf { (clipId: String, bytes: Array[Byte], codec: String) =>
+      try {
+        val i = clipId.stripPrefix("clip-").toLong
+        val (_, decoded) = AudioCodec.decode(bytes, codec)
+        val (_, ref) = WavCodec.decodePcm16(ClipsGenerator.referenceBytes(i, maxSynthMs))
+        WavCodec.snrDb(ref, decoded)
+      } catch { case _: Exception => Double.NegativeInfinity }
+    }
+    val sampled = clips
+      .where(pmod(xxhash64(col("clip_id")), lit(sampleEvery)) === 0)
+    sampled
+      .join(catalog.withColumnRenamed("transcript", "ref_transcript"),
+        Seq("clip_id"), "left_outer")
+      .withColumn("snr_db", snrUdf(col("clip_id"), col("bytes"), col("codec")))
+      .select(
+        col("clip_id"), col("codec"),
+        col("snr_db"),
+        (col("snr_db") >= lit(snrThresholdDb)).as("snr_ok"),
+        (col("transcript") === col("ref_transcript")).as("transcript_ok"))
+  }
+
+  /** Per-codec pass/fail roll-up of the sampled invariant. */
+  def summary(clips: DataFrame, catalog: DataFrame, sampleEvery: Int = 100,
+      snrThresholdDb: Double = DefaultSnrThresholdDb,
+      maxSynthMs: Int = 50): DataFrame =
+    check(clips, catalog, sampleEvery, snrThresholdDb, maxSynthMs)
+      .groupBy(col("codec"))
+      .agg(
+        count(lit(1)).as("sampled_rows"),
+        coalesce(sum(when(!col("snr_ok"), 1L).otherwise(0L)), lit(0L))
+          .as("snr_failures"),
+        coalesce(sum(when(!coalesce(col("transcript_ok"), lit(false)), 1L)
+          .otherwise(0L)), lit(0L)).as("transcript_failures"),
+        round(min(col("snr_db")), 3).as("min_snr_db"))
+}

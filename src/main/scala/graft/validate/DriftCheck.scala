@@ -1,0 +1,108 @@
+package graft.validate
+
+import graft.sketch.TDigest
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Typed UDAF building a t-digest per group: partial digests per task,
+  * merged associatively at the reducer — the two-level
+  * partial/final-aggregate shape the north rule asks for ("per-partition
+  * t-digest sketches ... merged with treeAggregate"); on DataFrames,
+  * Spark's ObjectHashAggregate IS that two-level merge, without collecting
+  * anything to the driver. No custom Catalyst Rule/Strategy is needed
+  * (SURVEY.md §4.2/§7.3): an `Aggregator` registered via `functions.udaf`
+  * plugs into codegen'd aggregation natively. */
+class TDigestAgg(compression: Double) extends Aggregator[Double, TDigest, Array[Byte]] {
+  def zero: TDigest = TDigest(compression)
+  def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+  def merge(b1: TDigest, b2: TDigest): TDigest = b1.merge(b2)
+  def finish(r: TDigest): Array[Byte] = r.toBytes
+  def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+/** Distribution-drift detection (north rule): sketch a numeric column per
+  * partition, merge, and compare current vs reference distributions with
+  * Kolmogorov–Smirnov and Population-Stability-Index statistics against
+  * spec'd thresholds. The reference library has nothing comparable
+  * (SURVEY.md §2.6 "Aggregations: none"). */
+object DriftCheck {
+
+  final case class DriftReport(ks: Double, psi: Double, ksThreshold: Double,
+      psiThreshold: Double) {
+    def drifted: Boolean = ks > ksThreshold || psi > psiThreshold
+  }
+
+  def digestUdaf(compression: Double = 100.0): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new TDigestAgg(compression), Encoders.scalaDouble)
+
+  /** (groupCols..., digest: binary) — one digest per group, one shuffle of
+    * pre-aggregated sketches (bytes, not rows). */
+  def digestPerGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      compression: Double = 100.0): DataFrame = {
+    val agg = digestUdaf(compression)(col(valueCol).cast("double")).as("digest")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Global digest of a column (driver receives one small sketch). */
+  def digest(df: DataFrame, valueCol: String, compression: Double = 100.0): TDigest =
+    TDigest.fromBytes(
+      digestPerGroup(df, valueCol, Nil, compression).head().getAs[Array[Byte]](0))
+
+  /** Two-sample KS statistic: sup |F1 − F2| evaluated at both digests'
+    * centroid means and extremes. */
+  def ks(a: TDigest, b: TDigest): Double = {
+    val xs = (a.centroidMeans ++ b.centroidMeans ++
+      Array(a.minValue, a.maxValue, b.minValue, b.maxValue))
+      .filter(x => !x.isNaN && !x.isInfinite).distinct
+    if (xs.isEmpty) return 0.0
+    xs.map(x => math.abs(a.cdf(x) - b.cdf(x))).max
+  }
+
+  /** PSI over `bins` equal-mass bins of the REFERENCE digest:
+    * Σ (p_cur − p_ref) · ln(p_cur / p_ref), with ε-floored proportions. */
+  def psi(reference: TDigest, current: TDigest, bins: Int = 10): Double = {
+    val eps = 1e-6
+    val edges = (1 until bins).map(i => reference.quantile(i.toDouble / bins))
+    val cuts = (Double.NegativeInfinity +: edges :+ Double.PositiveInfinity)
+    (0 until bins).map { i =>
+      def mass(d: TDigest, lo: Double, hi: Double): Double = {
+        val hiCdf = if (hi.isPosInfinity) 1.0 else d.cdf(hi)
+        val loCdf = if (lo.isNegInfinity) 0.0 else d.cdf(lo)
+        math.max(eps, hiCdf - loCdf)
+      }
+      val pRef = mass(reference, cuts(i), cuts(i + 1))
+      val pCur = mass(current, cuts(i), cuts(i + 1))
+      (pCur - pRef) * math.log(pCur / pRef)
+    }.sum
+  }
+
+  def compare(reference: TDigest, current: TDigest,
+      ksThreshold: Double = 0.1, psiThreshold: Double = 0.2,
+      psiBins: Int = 10): DriftReport =
+    DriftReport(ks(reference, current), psi(reference, current, psiBins),
+      ksThreshold, psiThreshold)
+
+  /** Per-group drift vs a shared reference digest, fully distributed until
+    * the final O(groups) rows: (groupCols..., ks, psi, drifted). */
+  def compareGroups(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      reference: TDigest, ksThreshold: Double = 0.1, psiThreshold: Double = 0.2,
+      compression: Double = 100.0): DataFrame = {
+    val refBytes = reference.toBytes
+    val ksT = ksThreshold
+    val psiT = psiThreshold
+    val evalUdf = udf { (digestBytes: Array[Byte]) =>
+      val cur = TDigest.fromBytes(digestBytes)
+      val ref = TDigest.fromBytes(refBytes)
+      val r = compare(ref, cur, ksT, psiT)
+      (r.ks, r.psi, r.drifted)
+    }
+    digestPerGroup(df, valueCol, groupCols, compression)
+      .withColumn("_drift", evalUdf(col("digest")))
+      .select(groupCols.map(col) ++ Seq(
+        col("_drift._1").as("ks"), col("_drift._2").as("psi"),
+        col("_drift._3").as("drifted")): _*)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.io
+
+import graft.TestSpark
+import graft.checkpoint.ManifestCheckpoint
+import graft.validate._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end slice over the north-rule clips table (SURVEY.md §7.2 step 5):
+  * synthesize → full constraint suite → violations + per-codec summary +
+  * uniqueness + referential + drift + audio invariant + resume. */
+class ClipsPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val N = 10000L
+  lazy val clean = ClipsGenerator.clips(spark, N, numPartitions = 8).cache()
+  lazy val dirty = ClipsGenerator.clips(spark, N, numPartitions = 8,
+    withErrors = true).cache()
+
+  test("generator is deterministic and matches the input_hint schema") {
+    val schema = clean.schema
+    assert(schema.fieldNames.toSeq ===
+      Seq("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"))
+    val a = ClipsGenerator.clip(12345)
+    val b = ClipsGenerator.clip(12345)
+    assert(a.clip_id === "clip-000000012345")
+    assert(a.transcript === b.transcript)
+    assert(java.util.Arrays.equals(a.bytes, b.bytes))
+    // skew axes exist: pcm_s16le ≈ 70%, 16000 Hz ≈ 60%
+    val codecShare = clean.where($"codec" === "pcm_s16le").count().toDouble / N
+    assert(codecShare > 0.6 && codecShare < 0.8)
+    val srShare = clean.where($"sr_hz" === 16000).count().toDouble / N
+    assert(srShare > 0.5 && srShare < 0.7)
+  }
+
+  test("clean table passes the full row-constraint suite") {
+    val run = RowValidator.validate(clean.toDF(), ClipsGenerator.spec)
+    assert(run.violations.count() === 0)
+    assert(run.summary.agg(sum("error_rows")).head().getLong(0) === 0)
+  }
+
+  test("injected errors are found, keyed by clip_id (north-rule shape)") {
+    val run = RowValidator.validate(dirty.toDF(), ClipsGenerator.spec)
+    val v = run.violations.cache()
+    // null transcripts at i%1000==7 → 10 rows
+    assert(v.where($"constraint_id" === "not_null" &&
+      $"column_name" === "transcript").count() === 10)
+    // sr_hz=96000 at i%5000==13 → 2 rows, violating maximum AND in_set
+    val sr = v.where($"column_name" === "sr_hz")
+    assert(sr.where($"constraint_id" === "maximum").count() === 2)
+    assert(sr.where($"constraint_id" === "in_set").count() === 2)
+    assert(sr.select("observed_value").distinct().head().getString(0) === "96000")
+    // violation rows carry clip_id + codec (key + partition columns)
+    assert(v.columns.toSeq ===
+      Seq("clip_id", "codec", "column_name", "constraint_id", "observed_value"))
+    v.unpersist()
+  }
+
+  test("uniqueness check finds injected duplicate clip_ids") {
+    val dups = UniquenessCheck.duplicateKeys(dirty.toDF(), Seq("clip_id"))
+    // i%5000==11 → ids of 10 and 5010 duplicated (2 keys, count 2 each)
+    val rows = dups.collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Long]("dup_count")).toSet === Set(2L))
+    assert(rows.map(_.getString(0)).toSet ===
+      Set("clip-000000000010", "clip-000000005010"))
+    // salted variant agrees
+    val salted = UniquenessCheck.duplicateKeysSalted(dirty.toDF(), Seq("clip_id"))
+    assert(salted.collect().map(r => (r.getString(0), r.getAs[Long]("dup_count")))
+      .toSet === rows.map(r => (r.getString(0), r.getAs[Long]("dup_count"))).toSet)
+    // HLL pre-screen: clean table ratio ≈ 1
+    val (d, n) = UniquenessCheck.approxDistinctRatio(clean.toDF(), Seq("clip_id"))
+    assert(math.abs(d.toDouble / n - 1.0) < 0.05)
+  }
+
+  test("referential check finds clips missing from the catalog") {
+    val cat = ClipsGenerator.catalog(spark, N)
+    val orphans = ReferentialCheck.orphans(clean.toDF(), cat, Seq("clip_id"),
+      broadcastCatalog = true)
+    // catalog drops i%1000==3 → 10 orphans
+    assert(orphans.count() === 10)
+    assert(orphans.head().getString(0).endsWith("003"))
+  }
+
+  test("drift: self-comparison is clean; shifted distribution trips KS+PSI") {
+    val ref = DriftCheck.digest(clean.toDF(), "dur_ms")
+    val self = DriftCheck.compare(ref, DriftCheck.digest(clean.toDF(), "dur_ms"))
+    assert(!self.drifted)
+    assert(self.ks < 0.02)
+    // simulate drift: durations shifted +30%
+    val shifted = clean.toDF().withColumn("dur_ms",
+      (col("dur_ms") * 1.3).cast("int"))
+    val drift = DriftCheck.compare(ref, DriftCheck.digest(shifted, "dur_ms"))
+    assert(drift.drifted, s"ks=${drift.ks} psi=${drift.psi}")
+    assert(drift.ks > 0.1)
+    // per-group comparison returns one row per codec
+    val byCodec = DriftCheck.compareGroups(clean.toDF(), "dur_ms", Seq("codec"), ref)
+    assert(byCodec.count() === 4)
+    assert(byCodec.where(col("drifted")).count() === 0)
+  }
+
+  test("audio invariant: clean passes, corrupted bytes + perturbed transcripts fail") {
+    val cat = ClipsGenerator.catalog(spark, N)
+    // sampleEvery=1 checks every row: exact expected failure counts
+    val inv = AudioInvariantCheck.check(dirty.toDF(), cat, sampleEvery = 1).cache()
+    // corrupted audio at i%5000==17 → 2 rows (SNR of half-zeroed sine << 30)
+    // PLUS the duplicate-id rows (i%5000==11): their bytes don't match the
+    // reference re-synthesized from the CLAIMED id → length mismatch → -inf.
+    // The invariant catching id/content mismatches is exactly the point.
+    assert(inv.where(!$"snr_ok").count() === 4)
+    // transcript failures: nulled i%1000==7 (10) + perturbed i%5000==19 (2)
+    // + catalog-dropped i%1000==3 (10, null ref) + duplicate-id rows whose
+    // transcript belongs to the original index (2)
+    assert(inv.where(!coalesce($"transcript_ok", lit(false))).count() === 24)
+    val cleanInv = AudioInvariantCheck.check(clean.toDF(), cat, sampleEvery = 1)
+    assert(cleanInv.where(!$"snr_ok").count() === 0)
+    inv.unpersist()
+  }
+
+  test("checkpoint manifest: resume skips completed, detects content change") {
+    val tmp = Files.createTempDirectory("graft-ckpt").toString
+    val manifestDir = s"$tmp/manifest"
+    val outDir = s"$tmp/out"
+    val df = dirty.toDF()
+    // first run: all 4 codec partitions pending
+    val done1 = ManifestCheckpoint.runResumable(spark, df, ClipsGenerator.spec,
+      manifestDir, outDir)
+    assert(done1.toSet === Set("pcm_s16le", "flac", "opus", "mp3"))
+    // second run: nothing pending (idempotent resume)
+    val done2 = ManifestCheckpoint.runResumable(spark, df, ClipsGenerator.spec,
+      manifestDir, outDir)
+    assert(done2.isEmpty)
+    // content change in ONE partition → only it re-runs
+    val changed = df.where($"codec" =!= "mp3")
+      .unionByName(df.where($"codec" === "mp3").limit(100))
+    val done3 = ManifestCheckpoint.runResumable(spark, changed,
+      ClipsGenerator.spec, manifestDir, outDir)
+    assert(done3 === Seq("mp3"))
+    // manifest carries metrics + lineage
+    val m = ManifestCheckpoint.latestEntries(
+      spark.read.parquet(manifestDir))
+    assert(m.count() === 4)
+    assert(m.columns.contains("content_hash") && m.columns.contains("error_rows"))
+  }
+}
