@@ -112,6 +112,70 @@ object SparkEntry {
           date_format(col("d_str"), "yyyy-MM-dd").as("d_iso"), col("is_err"))
     }),
 
+    // ---- training-data pipeline ops over documents/embeddings ----
+
+    // Text analysis: token/char counting (codegen'd, scan-only)
+    "q09_token_stats" -> ((s, dir) => {
+      import graft.text.TextAnalysis._
+      tbl(s, dir, "documents").select(col("doc_id"),
+        charCount(col("text")).as("n_chars_calc"),
+        tokenCount(col("text")).as("n_tokens"))
+    }),
+
+    // Text quality scoring (integer-valued, oracle-checkable)
+    "q10_quality_score" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("quality_score"))),
+
+    // Document fingerprinting (normalized md5)
+    "q11_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // Exact dedup: keeper rows after fingerprint-group dedup
+    "q12_dedup_exact" -> ((s, dir) =>
+      graft.dedup.Dedup.exactKeep(tbl(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id")),
+
+    // Language-ID heuristic (greatest-of-marker-scores; rows-only)
+    "q13_lang_id" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))),
+
+    // MinHash+LSH near-dup pairs w/ exact Jaccard verify (rows-only)
+    "q14_minhash_neardups" -> ((s, dir) =>
+      graft.dedup.Dedup.minhashNearDups(tbl(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.7, shingleLen = 1)),
+
+    // SimHash near-dup pairs via pigeonhole chunks (rows-only)
+    "q15_simhash_neardups" -> ((s, dir) =>
+      graft.dedup.Dedup.simhashNearDups(tbl(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)),
+
+    // Brute-force cosine top-k (ANN correctness baseline; rows-only)
+    "q16_ann_bruteforce" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.vector.Similarity.bruteForceTopK(emb,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", 5)
+    }),
+
+    // Multi-table LSH ANN (the scale path; rows-only)
+    "q17_ann_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.vector.Similarity.lshTopK(emb,
+        emb.where(col("vec_id") < 5), "vec_id", "embedding", 5, dim = 64)
+    }),
+
+    // Embedding-cosine near-duplicate pairs (rows-only)
+    "q18_embedding_neardups" -> ((s, dir) =>
+      graft.dedup.Dedup.embeddingNearDups(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, cosThreshold = 0.9)),
+
+    // Order-sensitive rolling-hash fingerprint (rows-only: xxhash64 chain)
+    "q19_rolling_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        graft.text.TextAnalysis.rollingHash(col("text")).as("rolling_fp"))),
+
     // ---- north-rule clips pipeline (synthetic table; rows-only checks —
     // DuckDB cannot reproduce the generator, so no oracleSql entries) ----
 
@@ -201,5 +265,24 @@ object SparkEntry {
         | STRFTIME(CAST(STRFTIME(ts, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS d_iso,
         | (event_type = 'error') AS is_err
         |FROM events""".stripMargin,
+    "q09_token_stats" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars_calc,
+        | LEN(STR_SPLIT(text, ' ')) AS n_tokens FROM documents""".stripMargin,
+    "q10_quality_score" ->
+      """SELECT doc_id,
+        | (CASE WHEN LENGTH(text) >= 200 THEN 1 ELSE 0 END)
+        | + (CASE WHEN LEN(STR_SPLIT(text, ' ')) >= 40 THEN 1 ELSE 0 END)
+        | + (CASE WHEN text LIKE '%the%' THEN 1 ELSE 0 END) AS quality_score
+        |FROM documents""".stripMargin,
+    "q11_fingerprint" ->
+      """SELECT doc_id,
+        | MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents""".stripMargin,
+    "q12_dedup_exact" ->
+      """SELECT doc_id FROM (
+        | SELECT doc_id, ROW_NUMBER() OVER (
+        |   PARTITION BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))))
+        |   ORDER BY doc_id) AS rn
+        | FROM documents) WHERE rn = 1""".stripMargin,
   )
 }

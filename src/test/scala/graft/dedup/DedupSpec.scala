@@ -1,0 +1,86 @@
+package graft.dedup
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  val near = "the quick brown fox jumps over the lazy cat and runs far away today"
+  val other = "completely different content about spark distributed query engines here"
+
+  lazy val docs = Seq(
+    (1L, base), (2L, base), // exact dups
+    (3L, near), // near dup of 1/2
+    (4L, other),
+    (5L, "The Quick Brown Fox jumps over the lazy dog and runs far away today"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps smallest id per normalized-fingerprint group") {
+    val kept = Dedup.exactKeep(docs, "doc_id", "text")
+    // 1==2 exactly; 5 differs only by case → same normalized fingerprint
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(1L, 3L, 4L))
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("dup_count") === 3)
+    assert(groups.head.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("shingle Jaccard: near pair high, unrelated pair ~0") {
+    val sh = docs.select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val a = sh.where($"doc_id" === 1).head().getSeq[String](1).toSet
+    val b = sh.where($"doc_id" === 3).head().getSeq[String](1).toSet
+    val c = sh.where($"doc_id" === 4).head().getSeq[String](1).toSet
+    val jNear = a.intersect(b).size.toDouble / a.union(b).size
+    assert(jNear > 0.5)
+    assert(a.intersect(c).isEmpty)
+  }
+
+  test("minhash LSH finds near-dups, skips unrelated, verified by Jaccard") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+    // jaccard column is exact: the (1,2) pair scores 1.0
+    val j12 = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .where($"id_a" === 1 && $"id_b" === 2).head().getAs[Double]("jaccard")
+    assert(j12 === 1.0)
+  }
+
+  test("simhash: identical texts collide, near texts within small hamming") {
+    val sims = docs.select($"doc_id", Dedup.simhash64($"text").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(4L)) > 16)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dups via hyperplane buckets + cosine verify") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Seq(0.99f, 0.01f, 0.0f, 0.1f)), // near-parallel to 1
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, "vec_id", "embedding",
+      dim = 4, cosThreshold = 0.95, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("candidate generation is bucket-local (no O(n^2) pairs on real data)") {
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val cands = Dedup.minhashCandidates(docs500, "doc_id", "text")
+    val nPairs = cands.count()
+    // 500 docs → 124,750 possible pairs; LSH must prune hard
+    assert(nPairs < 20000, s"candidate explosion: $nPairs")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.text
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("r")).head().get(0)
+
+  test("token and char counting") {
+    assert(one(TextAnalysis.tokenCount(col("t")), "a b c") === 3)
+    assert(one(TextAnalysis.tokenCount(col("t")), "single") === 1)
+    assert(one(TextAnalysis.charCount(col("t")), "abc de") === 6)
+  }
+
+  test("quality score components") {
+    val long = ("word " * 50).trim + " the end"
+    assert(one(TextAnalysis.qualityScore(col("t")), long) === 3)
+    assert(one(TextAnalysis.qualityScore(col("t")), "short") === 0)
+    assert(one(TextAnalysis.qualityScore(col("t")), "the") === 1)
+  }
+
+  test("stopword / alpha / punct ratios") {
+    assert(one(TextAnalysis.stopwordRatio(col("t")), "the cat and the dog")
+      .asInstanceOf[Double] === 0.6)
+    assert(one(TextAnalysis.alphaRatio(col("t")), "abc123")
+      .asInstanceOf[Double] === 0.5)
+    val p = one(TextAnalysis.punctRatio(col("t")), "a,b.c").asInstanceOf[Double]
+    assert(math.abs(p - 0.4) < 1e-9)
+  }
+
+  test("language ID heuristic on crafted samples") {
+    assert(one(TextAnalysis.langId(col("t")),
+      "the cat is in the house and it was good") === "en")
+    assert(one(TextAnalysis.langId(col("t")),
+      "le chat est dans la maison et les oiseaux") === "fr")
+    assert(one(TextAnalysis.langId(col("t")),
+      "el gato esta en la casa con los perros") === "es")
+    assert(one(TextAnalysis.langId(col("t")),
+      "der Hund und die Katze ist nicht hier") === "de")
+    assert(one(TextAnalysis.langId(col("t")), "你好 世界") === "zh")
+    assert(one(TextAnalysis.langId(col("t")), "zzz qqq xxx") === "und")
+  }
+
+  test("fingerprint normalizes whitespace and case") {
+    val a = one(TextAnalysis.fingerprint(col("t")), "Hello   World")
+    val b = one(TextAnalysis.fingerprint(col("t")), "hello world ")
+    val c = one(TextAnalysis.fingerprint(col("t")), "hello mars")
+    assert(a === b)
+    assert(a !== c)
+  }
+
+  test("rolling hash is order-sensitive (unlike set-based fingerprints)") {
+    val ab = one(TextAnalysis.rollingHash(col("t")), "alpha beta")
+    val ba = one(TextAnalysis.rollingHash(col("t")), "beta alpha")
+    val ab2 = one(TextAnalysis.rollingHash(col("t")), "alpha beta")
+    assert(ab === ab2)
+    assert(ab !== ba)
+  }
+
+  test("subword estimate splits case/digit boundaries") {
+    assert(one(TextAnalysis.subwordCountEstimate(col("t")), "fooBar baz42qux")
+      .asInstanceOf[Int] >= 4)
+  }
+}

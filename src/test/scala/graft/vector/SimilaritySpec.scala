@@ -1,0 +1,68 @@
+package graft.vector
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+  lazy val dim = emb.select(size($"embedding")).head().getInt(0)
+
+  test("cosine primitives: parallel=1, orthogonal=0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(2.0f, 0.0f), Seq(0.0f, 3.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("par"),
+      Similarity.cosine($"a", $"c").as("orth"),
+      Similarity.dot($"a", $"b").as("dot")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(r.getDouble(1)) < 1e-9)
+    assert(r.getDouble(2) === 2.0)
+  }
+
+  test("brute-force top-k: self excluded, ranks ordered, k respected") {
+    val queries = emb.limit(3)
+    val topk = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .cache()
+    assert(topk.groupBy("query_id").count().select(max("count")).head().getLong(0) === 5)
+    assert(topk.where($"query_id" === $"neighbor_id").count() === 0)
+    // ranks are 1..5 with non-increasing cosine
+    val perQ = topk.where($"query_id" === topk.select("query_id").head().getLong(0))
+      .orderBy("rank").collect()
+    assert(perQ.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3, 4, 5))
+    val cos = perQ.map(_.getAs[Double]("cosine"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    topk.unpersist()
+  }
+
+  test("LSH top-k achieves decent recall@5 vs brute force with multi-probe") {
+    val queries = emb.limit(10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5,
+      dim = dim, planes = 6, tables = 8, multiProbeBits = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // these synthetic embeddings are near-random (top-5 cosine ≈ 0.32) —
+    // LSH's worst case; clustered real embeddings recall far higher
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
+  test("bucket histogram: buckets partition the corpus") {
+    val hist = Similarity.bucketHistogram(emb, "embedding", dim, planes = 8)
+    assert(hist.agg(sum("n")).head().getLong(0) === emb.count())
+    assert(hist.count() > 1) // vectors actually spread across buckets
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    val a = Similarity.hyperplanes(16, 4, 42L)
+    val b = Similarity.hyperplanes(16, 4, 42L)
+    assert(a.flatten.toSeq === b.flatten.toSeq)
+    assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+}
