@@ -142,10 +142,15 @@ object SparkEntry {
       tbl(s, dir, "documents").select(col("doc_id"),
         graft.text.TextAnalysis.langId(col("text")).as("lang_pred"))),
 
-    // MinHash+LSH near-dup pairs w/ exact Jaccard verify (rows-only)
+    // MinHash+LSH near-dup pairs w/ exact Jaccard verify (rows-only).
+    // Trigram shingles: these synthetic docs all draw on a ~30-word
+    // vocabulary, so unigram/bigram sets overlap heavily for EVERY pair
+    // (candidate explosion — measured 204s at sf0.1 with bigrams);
+    // trigrams restore discrimination (the reference corpus granularity
+    // most dedup pipelines use).
     "q14_minhash_neardups" -> ((s, dir) =>
       graft.dedup.Dedup.minhashNearDups(tbl(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.7, shingleLen = 1)),
+        "doc_id", "text", threshold = 0.8, shingleLen = 3)),
 
     // SimHash near-dup pairs via pigeonhole chunks (rows-only)
     "q15_simhash_neardups" -> ((s, dir) =>
@@ -222,6 +227,17 @@ object SparkEntry {
       AudioInvariantCheck.summary(
         ClipsGenerator.clips(s, n, withErrors = true).toDF(),
         ClipsGenerator.catalog(s, n), sampleEvery = 10)
+    }),
+
+    // The fused one-scan suite (row constraints + referential + drift +
+    // audio invariant in ONE pass) — the engine's 100 TB entry point
+    "q26_clips_suite_onepass" -> ((s, dir) => {
+      val n = clipCount(dir)
+      ValidationSuite.run(
+        ClipsGenerator.clips(s, n, withErrors = true).toDF(),
+        ClipsGenerator.catalog(s, n), ClipsGenerator.spec,
+        ValidationSuite.Config(sampleEvery = 10))
+        .drop("drift_digest", "violations_by_constraint")
     }),
   )
 

@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   * That is the property that survives a 100×/10^12-row scale-up. */
 object Dedup {
 
+  /** Rebalance a frame whose partitioning is far below the session's
+    * parallelism before a compute-dense per-row stage (signature hashing is
+    * ~64 hashes/shingle — a single 2 MB parquet file would otherwise run
+    * single-task). At scale the input's own partitioning already exceeds
+    * core count and this is a no-op — no shuffle added. */
+  private def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a normalized fingerprint. Returns the kept rows
@@ -33,14 +43,17 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles as a distinct array (set semantics for Jaccard). */
+  /** Word n-gram shingles (multiset — duplicates kept; min-hashing is
+    * invariant to them and `array_distinct` is O(n²) per row). Use
+    * [[shingleSet]] where true set semantics matter (exact Jaccard). */
   def shingles(c: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(c)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -51,11 +64,22 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** MinHash signature: array of `numHashes` minima of per-seed shingle
-    * hashes. Pure array ops → codegen'd, no UDF, no shuffle. */
+  /** MinHash signature: `numHashes` minima of per-seed shingle hashes,
+    * computed in a SINGLE traversal of the shingle array — an `aggregate`
+    * whose accumulator is the running-min vector, with xxhash64(seed, s) as
+    * the seed-indexed hash family. (The naive form — one `array_min(
+    * transform(...))` per seed — duplicates the shingle-array expression
+    * `numHashes` times in the projection; Catalyst does not CSE across
+    * higher-order-function lambdas, which measured 246 s vs ~4 s on 5k
+    * docs.) Pure array ops → codegen'd, no UDF, no shuffle. */
   def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(seed =>
-      array_min(transform(shinglesCol, s => xxhash64(lit(seed), s)))): _*)
+    aggregate(
+      shinglesCol,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s)),
+        (a, b) => least(a, b)))
 
   /** LSH candidate pairs: signatures banded into `bands`; docs sharing any
     * band hash become candidates. Returns (id_a, id_b) with id_a < id_b,
@@ -67,7 +91,7 @@ object Dedup {
     val sig = minhashSignature(shingles(col(textCol), shingleLen), numHashes)
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit("band"), lit(b), slice(col("_sig"), b * r + 1, r))): _*)
-    val banded = df
+    val banded = ensureParallelism(df)
       .select(col(idCol).as("_id"), sig.as("_sig"))
       .select(col("_id"), posexplode(bandHashes))
       .select(col("_id"), col("pos").as("_band"), col("col").as("_bandhash"))
@@ -84,7 +108,8 @@ object Dedup {
       threshold: Double = 0.8, shingleLen: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes, bands)
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleLen).as("_sh"))
+    val sh = ensureParallelism(df)
+      .select(col(idCol), shingleSet(col(textCol), shingleLen).as("_sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
@@ -95,18 +120,23 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over token hashes: per-bit majority vote of ±1. The
-    * bit loop is unrolled at plan-build time (shift amounts must be
-    * literals), yielding 64 codegen'd array-aggregate expressions per row —
-    * still a pure scan projection, no shuffle. */
+  /** 64-bit SimHash over token hashes: per-bit majority vote of ±1,
+    * computed in ONE traversal — the aggregate accumulator is the 64-long
+    * vote vector, bit-tested against a literal mask array (variable shifts
+    * aren't expressible, constant masks are; and 64 separate aggregates
+    * would re-hash every token 64×). */
   def simhash64(c: Column): Column = {
-    val tokHashes = transform(TextAnalysis.tokens(c), t => xxhash64(t))
-    val bits = (0 until 64).map { k =>
-      val vote = aggregate(tokHashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << k)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val masks = typedlit((0 until 64).map(k => 1L << k))
+    // hash each token ONCE via transform (a lambda variable is a
+    // materialized value, so the 64 mask tests below don't re-hash)
+    val votes = aggregate(
+      transform(TextAnalysis.tokens(c), t => xxhash64(t)),
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, masks,
+        (cnt, m) => cnt + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(
+      zip_with(votes, masks, (cnt, m) => when(cnt > 0, m).otherwise(0L)),
+      lit(0L), (a, b) => a.bitwiseOR(b))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -121,7 +151,8 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val withSig = df.select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sim"))
+    val withSig = ensureParallelism(df)
+      .select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sim"))
     val chunkVals = array((0 until chunks).map(k =>
       shiftright(col("_sim"), k * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))): _*)
     val banded = withSig.select(col("_id"), col("_sim"), posexplode(chunkVals))

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.spec.TableSpec
+import graft.validate.RowValidator
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured-Streaming front-end for the validation engine: the same
+  * declarative constraint suite applied to a continuous source.
+  *
+  * The reference library is batch-only (SURVEY.md §2.6 "Streaming: none");
+  * this is the ingest-time extension a training-data pipeline needs: reject
+  * bad rows before they land, and expose a watermarked violation-rate
+  * monitor stream.
+  *
+  * Design notes for scale:
+  *  - [[attach]] is a stateless per-row projection — no streaming state, so
+  *    throughput is identical to the batch scan path (codegen'd) and any
+  *    trigger interval works.
+  *  - [[start]] uses foreachBatch + the batch writer, giving exactly-once
+  *    sinks via the checkpoint dir; violations and clean rows are split
+  *    WITHIN one micro-batch scan (the annotated frame is persisted per
+  *    batch, so the source is read once per batch, not twice).
+  *  - [[violationRateByWindow]] is a watermarked windowed aggregation —
+  *    state is bounded by (windows in watermark horizon × partitions).
+  */
+object StreamingValidator {
+
+  /** Annotate a (possibly streaming) frame with the violation array. */
+  def attach(stream: DataFrame, spec: TableSpec): DataFrame =
+    RowValidator.annotate(stream, spec)._1
+
+  /** Run the full split per micro-batch: violations → `outDir/violations`,
+    * clean rows → `outDir/clean` (parquet, append). */
+  def start(stream: DataFrame, spec: TableSpec, outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val run = RowValidator.validate(batch, spec)
+        val annotated = run.annotated.persist()
+        try {
+          run.copy(annotated = annotated).violations
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(s"$outDir/violations")
+          annotated.where(size(filter(col(RowValidator.ViolationsCol),
+            _.isNotNull)) === 0)
+            .drop(RowValidator.ViolationsCol)
+            .write.mode("append").parquet(s"$outDir/clean")
+        } finally { annotated.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** Watermarked violation-rate monitor: one row per (event-time window ×
+    * partition cols) with total/error counts. */
+  def violationRateByWindow(stream: DataFrame, spec: TableSpec, tsCol: String,
+      windowDuration: String, watermarkDelay: String): DataFrame = {
+    val annotated = attach(stream, spec)
+      // watermarks require TIMESTAMP (with tz); parquet event times are
+      // often TIMESTAMP_NTZ — cast under the session (UTC) zone
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+    val failed = filter(col(RowValidator.ViolationsCol), _.isNotNull)
+    annotated
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration) +:
+        spec.partitionCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("total_rows"),
+        coalesce(sum(when(size(failed) > 0, 1L).otherwise(0L)), lit(0L))
+          .as("error_rows"))
+      .withColumn("error_rate",
+        col("error_rows").cast("double") / col("total_rows"))
+  }
+}
