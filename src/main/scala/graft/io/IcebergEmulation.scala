@@ -1,0 +1,56 @@
+package graft.io
+
+import graft.spec.{AliasType, TableSpec}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Iceberg-shaped table I/O.
+  *
+  * This sandbox ships no Iceberg jars (`ls /opt/spark/jars | grep iceberg`
+  * is empty — SURVEY.md §7.4 risk 1), so the storage layout is emulated
+  * with Hive-style partitioned parquet plus [[graft.checkpoint.ManifestCheckpoint]]
+  * for per-partition lineage. [[createTableDdl]] emits the real
+  * `CREATE TABLE ... USING iceberg` statement so a cluster with an Iceberg
+  * catalog is a drop-in: same schema derivation (the reference's
+  * `iceberg_schema`, `/root/reference/src/fastdataframe/iceberg/model.py:190-204`),
+  * with field IDs left to the catalog (the reference reuses 1-based indices
+  * as IDs, `iceberg/model.py:38,121-125` — a quirk real Iceberg forbids;
+  * documented deviation per SURVEY.md §1.3). */
+object IcebergEmulation {
+
+  /** Spark SQL DDL type rendering for a spec column. */
+  def sqlType(dt: DataType): String = dt.sql
+
+  /** `CREATE TABLE ... USING iceberg PARTITIONED BY (...)` for a spec —
+    * partition transforms: identity on declared partition columns plus an
+    * optional bucket transform on the key for co-located joins at scale. */
+  def createTableDdl(spec: TableSpec, fqTableName: String,
+      bucketKey: Boolean = true, buckets: Int = 256,
+      alias: AliasType = AliasType.Serialization): String = {
+    val cols = spec.columns.map { c =>
+      val notNull = if (c.nullable) "" else " NOT NULL"
+      s"  ${c.nameFor(alias)} ${sqlType(c.dataType)}$notNull"
+    }.mkString(",\n")
+    val transforms =
+      spec.partitionCols.map(identity) ++
+        (if (bucketKey && spec.keyCols.nonEmpty)
+          Seq(s"bucket($buckets, ${spec.keyCols.head})")
+        else Nil)
+    val partitionClause =
+      if (transforms.nonEmpty) s"\nPARTITIONED BY (${transforms.mkString(", ")})"
+      else ""
+    s"CREATE TABLE $fqTableName (\n$cols\n) USING iceberg$partitionClause"
+  }
+
+  /** Write the emulated table: Hive-layout parquet partitioned by the
+    * spec's partition columns. */
+  def write(df: DataFrame, spec: TableSpec, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (spec.partitionCols.nonEmpty) w.partitionBy(spec.partitionCols: _*)
+    else w).parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -37,9 +37,16 @@ sealed trait Constraint extends Serializable {
   def jsonKey: Option[(String, Any)] = None
 }
 
-/** Base for constraints that pass on NULL. */
+/** Base for constraints that pass on NULL.
+  *
+  * `holds` is `c.isNull || pred(c)` WITHOUT a coalesce guard: every built-in
+  * predicate below is non-null for non-null input, and keeping the negation
+  * as a plain comparison lets Catalyst push `NOT (col <= k)`-style filters
+  * into the parquet scan for row-group skipping (a coalesce wrapper was
+  * measured to block PushedFilters entirely). [[Check]], whose user-supplied
+  * predicate may be null-producing, adds its own guard. */
 sealed trait NullPassing extends Constraint {
-  final def holds(c: Column): Column = c.isNull || coalesce(pred(c), lit(false))
+  def holds(c: Column): Column = c.isNull || pred(c)
 }
 
 /** Required (non-Optional) field — ref `polars/model.py:411-425`,
@@ -138,7 +145,10 @@ case object UniqueItems extends NullPassing {
 
 /** Arbitrary SQL predicate escape hatch; `mkPred` must be a pure Column
   * function of the column (used e.g. for the dur_ms>0 AND dur_ms<=30000
-  * compound in one constraint id). */
+  * compound in one constraint id). User predicates may evaluate to NULL on
+  * non-null input, so this one keeps the coalesce guard. */
 final case class Check(id: String, mkPred: Column => Column) extends NullPassing {
   protected def pred(c: Column): Column = mkPred(c)
+  override def holds(c: Column): Column =
+    c.isNull || coalesce(mkPred(c), lit(false))
 }

@@ -44,6 +44,10 @@ object ValidationSuite {
       ksThreshold: Double = 0.1,
       psiThreshold: Double = 0.2,
       digestCompression: Double = 100.0,
+      /** Set when the catalog may contain duplicate keys; the dedup
+        * compiles to a SortAggregate (first() per key), which is wasted
+        * work for the usual curated-unique catalog. */
+      dedupCatalog: Boolean = false,
   )
 
   /** Per-partition suite summary: one output row per partition-column
@@ -76,8 +80,8 @@ object ValidationSuite {
     val narrow = annotated0.select(narrowCols: _*)
 
     // ---- referential join on projected key (also brings ref transcript)
-    val cat = catalog.select(col(key), col("transcript").as("_ref_transcript"))
-      .dropDuplicates(Seq(key))
+    val cat0 = catalog.select(col(key), col("transcript").as("_ref_transcript"))
+    val cat = if (cfg.dedupCatalog) cat0.dropDuplicates(Seq(key)) else cat0
     val joined = narrow.join(cat, Seq(key), "left_outer")
 
     // ---- one aggregation: summary + per-check counters + digest + audio
