@@ -51,6 +51,15 @@ object CastPlanner {
       to_timestamp(c, StrftimeFormat.toSparkPattern(info.dateFormat)).cast(tgt)
     else c.cast(tgt)
 
+  /** `str_to_time` (`_cast_functions.py:56-76`): parse with the converted
+    * format when it carries any of %H/%M/%S/%T, else default TIME parse —
+    * Spark 4.1's `to_time`. */
+  def strToTime(c: Column, info: ColumnSpec): Column =
+    if (info.dateFormat.nonEmpty && StrftimeFormat.hasAnyTimeCode(info.dateFormat))
+      call_function("to_time", c,
+        lit(StrftimeFormat.toSparkPattern(info.dateFormat)))
+    else call_function("to_time", c)
+
   /** `str_to_duration` (`_cast_functions.py:79-83`): string → Int64 micros →
     * duration. Exact micro arithmetic via interval multiplication (no double
     * rounding). */
@@ -72,6 +81,7 @@ object CastPlanner {
       case (StringType, BooleanType) => strToBool(c, spec)
       case (StringType, DateType) => strToDate(c, spec)
       case (StringType, TimestampType | TimestampNTZType) => strToTimestamp(c, spec, tgt)
+      case (StringType, _: TimeType) => strToTime(c, spec)
       case (StringType, _: DayTimeIntervalType) => strToDuration(c)
       case (StringType, ByteType | ShortType | IntegerType | LongType |
                         FloatType | DoubleType) => strToNumericWithTrim(c, tgt)

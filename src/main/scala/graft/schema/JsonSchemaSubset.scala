@@ -113,11 +113,26 @@ object JsonSchemaSubset {
   }
 
   /** `object_schema_is_subset` (:107-122): left may carry extra properties
-    * but must cover every right property as a superset. */
+    * but must cover every right property as a superset.
+    *
+    * DOCUMENTED DEVIATION: the reference never inspects
+    * `additionalProperties`, so any map type vacuously accepts any other map
+    * type (`dict[str,int]` ⊇ `dict[str,str]` under its code). We recurse into
+    * `additionalProperties` (the map value schema, `iceberg/json_schema.py:89-98`)
+    * — strictly safer; no reference test row depends on the looser behavior. */
   def objectIsSubset(left: JValue, right: JValue): Boolean = {
     val lProps = get(left, "properties").collect { case JObject(fs) => fs.toMap }.getOrElse(Map.empty)
     val rProps = get(right, "properties").collect { case JObject(fs) => fs.toMap }.getOrElse(Map.empty)
-    rProps.forall { case (k, rv) => lProps.get(k).exists(lv => isSubset(lv, rv)) }
+    val propsOk =
+      rProps.forall { case (k, rv) => lProps.get(k).exists(lv => isSubset(lv, rv)) }
+    val lAp = get(left, "additionalProperties").filterNot(isEmptySchema)
+    val rAp = get(right, "additionalProperties").filterNot(isEmptySchema)
+    val apOk = (lAp, rAp) match {
+      case (None, _) => true // left unconstrained: permits anything
+      case (Some(_), None) => false // left constrains what right leaves open
+      case (Some(l), Some(r)) => isSubset(l, r)
+    }
+    propsOk && apOk
   }
 
   /** `format_is_superset` (:125-140). */

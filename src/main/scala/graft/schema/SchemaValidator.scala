@@ -53,11 +53,9 @@ object SchemaValidator {
           f.name -> fieldToJsonSchema(f))),
         "required" -> JArray(fields.filterNot(_.nullable).map(f => JString(f.name)).toList))
     case NullType => JObject("type" -> JString("null"))
-    case other =>
-      // TimeType (Spark 4.1) matched by name to stay source-compatible
-      if (other.getClass.getSimpleName.startsWith("TimeType"))
-        JObject("type" -> JString("string"), "format" -> JString("time"))
-      else JObject("type" -> JString("string"))
+    case _: TimeType => // Spark 4.1 TIME type (iceberg/json_schema.py:45-64)
+      JObject("type" -> JString("string"), "format" -> JString("time"))
+    case _ => JObject("type" -> JString("string"))
   }
 
   /** Optional[T] renders as anyOf[T, null] (`core/types.py` docstring;

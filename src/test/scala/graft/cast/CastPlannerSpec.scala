@@ -75,6 +75,18 @@ class CastPlannerSpec extends AnyFunSuite {
     assert(out2.head().get(0).toString === "2024-03-09T01:02:03")
   }
 
+  test("str→time honors time format (:56-76), Spark 4.1 TIME type") {
+    val spec = TableSpec("t", Seq(
+      ColumnSpec("t", TimeType(), dateFormat = "%H:%M:%S")))
+    val out = CastPlanner(Seq("12:34:56").toDF("t"), spec)
+    assert(out.schema("t").dataType.isInstanceOf[TimeType])
+    assert(out.head().get(0).toString === "12:34:56")
+    // default parse when format has no time codes
+    val iso = TableSpec("t", Seq(ColumnSpec("t", TimeType())))
+    assert(CastPlanner(Seq("01:02:03").toDF("t"), iso)
+      .head().get(0).toString === "01:02:03")
+  }
+
   test("str→duration: int64 micros → interval (:79-83)") {
     val spec = TableSpec("t", Seq(ColumnSpec("d", DayTimeIntervalType())))
     val out = CastPlanner(Seq("1500000").toDF("d"), spec)

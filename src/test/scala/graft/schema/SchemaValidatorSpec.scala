@@ -79,6 +79,64 @@ class SchemaValidatorSpec extends AnyFunSuite {
     assert(errs.head.errorDetails === "Expected type date, but got date-time.")
   }
 
+  test("temporal format tags: time vs date vs duration are all distinct") {
+    // iceberg/json_schema.py:45-64 formats matrix
+    val time = SchemaValidator.typeToJsonSchema(TimeType())
+    val date = SchemaValidator.typeToJsonSchema(DateType)
+    val dur = SchemaValidator.typeToJsonSchema(DayTimeIntervalType())
+    import graft.schema.JsonSchemaSubset._
+    assert(typeName(time) === "time")
+    assert(typeName(dur) === "duration")
+    assert(!isSubset(time, date) && !isSubset(date, time))
+    val spec = TableSpec("t", Seq(ColumnSpec("x", TimeType())))
+    val errs = SchemaValidator.validateColumnTypes(spec,
+      StructType(Seq(StructField("x", DateType))))
+    assert(errs.head.errorDetails === "Expected type time, but got date.")
+  }
+
+  test("map types recurse through additionalProperties (iceberg matrix)") {
+    val spec = TableSpec("t", Seq(
+      ColumnSpec("m", MapType(StringType, LongType, valueContainsNull = false))))
+    val ok = StructType(Seq(StructField("m",
+      MapType(StringType, IntegerType, valueContainsNull = false))))
+    assert(SchemaValidator.validateSchema(spec, ok).isEmpty)
+    val bad = StructType(Seq(StructField("m",
+      MapType(StringType, StringType, valueContainsNull = false))))
+    assert(SchemaValidator.validateColumnTypes(spec, bad).size === 1)
+  }
+
+  test("list-of-struct recursion (iceberg matrix :424-468)") {
+    val inner = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = false)))
+    val spec = TableSpec("t", Seq(
+      ColumnSpec("xs", ArrayType(inner, containsNull = false))))
+    assert(SchemaValidator.validateSchema(spec,
+      StructType(Seq(StructField("xs", ArrayType(inner, containsNull = false))))).isEmpty)
+    val badInner = StructType(Seq(StructField("a", StringType, nullable = false)))
+    val errs = SchemaValidator.validateColumnTypes(spec,
+      StructType(Seq(StructField("xs", ArrayType(badInner, containsNull = false)))))
+    assert(errs.size === 1)
+  }
+
+  test("optional containers and containers-of-optionals (iceberg :119-223)") {
+    // Optional[list[int]] model vs plain list frame: ok
+    val optList = TableSpec("t", Seq(
+      ColumnSpec("xs", ArrayType(LongType, containsNull = false), nullable = true)))
+    assert(SchemaValidator.validateSchema(optList,
+      StructType(Seq(StructField("xs", ArrayType(LongType, containsNull = false))))).isEmpty)
+    // list-of-optional model vs list-of-required frame: ok (widening)
+    val listOfOpt = TableSpec("t", Seq(
+      ColumnSpec("xs", ArrayType(LongType, containsNull = true))))
+    assert(SchemaValidator.validateSchema(listOfOpt,
+      StructType(Seq(StructField("xs", ArrayType(LongType, containsNull = false))))).isEmpty)
+    // list-of-required model vs list-of-optional frame: MISMATCH
+    val listOfReq = TableSpec("t", Seq(
+      ColumnSpec("xs", ArrayType(LongType, containsNull = false))))
+    assert(SchemaValidator.validateColumnTypes(listOfReq,
+      StructType(Seq(StructField("xs", ArrayType(LongType, containsNull = true))))).size === 1)
+  }
+
   test("decimal model accepts double frame (pydantic anyOf union)") {
     val spec = TableSpec("t", Seq(ColumnSpec("a", DecimalType(10, 2))))
     val frame = StructType(Seq(StructField("a", DoubleType)))
