@@ -19,6 +19,11 @@ class ClipsPipelineSpec extends AnyFunSuite {
   lazy val dirty = ClipsGenerator.clips(spark, N, numPartitions = 8,
     withErrors = true).cache()
 
+  test("driver contract: entry() returns rows on sf0.001") {
+    val df = graft.SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
   test("generator is deterministic and matches the input_hint schema") {
     val schema = clean.schema
     assert(schema.fieldNames.toSeq ===
