@@ -181,6 +181,43 @@ object SparkEntry {
       tbl(s, dir, "documents").select(col("doc_id"),
         graft.text.TextAnalysis.rollingHash(col("text")).as("rolling_fp"))),
 
+    // Windowed top-k (deterministic tiebreak): heaviest users per event type
+    "q27_topk_users" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = tbl(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("n").desc, col("user_id"))
+      counts.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    }),
+
+    // Event-time bucketing (hourly) — the batch shape of the streaming
+    // violation-rate monitor; timestamps rendered as ISO strings for
+    // reader-independent hashing
+    "q28_events_hourly" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")),
+          "yyyy-MM-dd HH:mm:ss").as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("total_value"))),
+
+    // Fixed-width histogram — the binned-density piece of drift detection
+    "q29_histogram" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(floor(col("l_quantity") / 5.0).cast(LongType).as("bin"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Multi-column per-group profile (ColumnStats over orders)
+    "q30_orders_profile" -> ((s, dir) =>
+      ColumnStats.profile(tbl(s, dir, "orders"), Seq("o_totalprice"),
+        Seq("o_orderstatus"))
+        .select(col("o_orderstatus"), col("total_rows"),
+          col("o_totalprice_nulls").as("price_nulls"),
+          round(col("o_totalprice_min"), 2).as("price_min"),
+          round(col("o_totalprice_max"), 2).as("price_max"),
+          round(col("o_totalprice_avg"), 4).as("price_avg"))),
+
     // ---- north-rule clips pipeline (synthetic table; rows-only checks —
     // DuckDB cannot reproduce the generator, so no oracleSql entries) ----
 
@@ -300,5 +337,26 @@ object SparkEntry {
         |   PARTITION BY MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))))
         |   ORDER BY doc_id) AS rn
         | FROM documents) WHERE rn = 1""".stripMargin,
+    "q27_topk_users" ->
+      """SELECT event_type, user_id, n, rn FROM (
+        | SELECT event_type, user_id, COUNT(*) AS n,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY COUNT(*) DESC, user_id) AS rn
+        | FROM events GROUP BY event_type, user_id) WHERE rn <= 3""".stripMargin,
+    "q28_events_hourly" ->
+      """SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr,
+        | event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q29_histogram" ->
+      """SELECT CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS bin, COUNT(*) AS n
+        |FROM lineitem GROUP BY bin""".stripMargin,
+    "q30_orders_profile" ->
+      """SELECT o_orderstatus, COUNT(*) AS total_rows,
+        | CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS price_nulls,
+        | ROUND(MIN(o_totalprice), 2) AS price_min,
+        | ROUND(MAX(o_totalprice), 2) AS price_max,
+        | ROUND(AVG(o_totalprice), 4) AS price_avg
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
   )
 }
