@@ -67,6 +67,30 @@ class TDigestSpec extends AnyFunSuite {
     assert(d.toBytes.length < 32 * 1024)
   }
 
+  test("property: quantile is monotone in q and bounded by min/max") {
+    for (seed <- 1 to 10) {
+      val rnd = new Random(seed)
+      val d = TDigest(100)
+      val xs = Array.fill(5000)(rnd.nextGaussian() * rnd.nextInt(100))
+      xs.foreach(d.add)
+      val qs = (0 to 20).map(i => d.quantile(i / 20.0))
+      assert(qs.zip(qs.tail).forall { case (a, b) => a <= b + 1e-9 }, s"seed=$seed")
+      assert(qs.head >= xs.min - 1e-9 && qs.last <= xs.max + 1e-9)
+    }
+  }
+
+  test("property: merge is order-insensitive within tolerance") {
+    val rnd = new Random(5)
+    val chunks = Array.fill(8)(Array.fill(2000)(rnd.nextDouble() * 50))
+    def digestOf(order: Seq[Int]): TDigest =
+      order.map { i => val t = TDigest(100); chunks(i).foreach(t.add); t }
+        .reduce(_ merge _)
+    val a = digestOf(0 until 8)
+    val b = digestOf((0 until 8).reverse)
+    for (q <- Seq(0.1, 0.5, 0.9))
+      assert(math.abs(a.quantile(q) - b.quantile(q)) < 1.0)
+  }
+
   test("empty and single-value digests") {
     val e = TDigest(100)
     assert(e.quantile(0.5).isNaN)
