@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pipe the forked run's stdout STRAIGHT THROUGH instead of re-logging it
+// with an "[info] " prefix — the driver parses graft.Bench's single JSON
+// line from stdout, and sbt's default LoggedOutput wrapper broke that
+// (round-1 BENCH had parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -82,10 +82,18 @@ object ManifestCheckpoint {
     }
   }
 
-  /** Validate only pending partitions; write violations + summaries under
-    * `outDir/partition_value=<v>/`, append manifest entries. Returns the
-    * partitions processed this run. Idempotent: re-running after completion
-    * is a no-op; re-running after a kill resumes where it stopped. */
+  /** Validate only pending partitions; write violations under
+    * `outDir/violations/partition_value=<v>/` and append manifest entries.
+    * Returns the partitions processed this run. Idempotent: re-running
+    * after completion is a no-op; re-running after a kill resumes where it
+    * stopped.
+    *
+    * Batched (round-1 verdict #5): ONE slice covers every pending
+    * partition, ONE dynamic-partitioned write emits all violations, and
+    * ONE grouped aggregation computes every partition's summary AND content
+    * fingerprint together — a constant number of jobs regardless of
+    * partition count (the per-partition loop ran ~2 jobs × N partitions,
+    * serially: ~2000 jobs at 1000 partitions). */
   def runResumable(spark: SparkSession, df: DataFrame, spec: TableSpec,
       manifestDir: String, outDir: String): Seq[String] = {
     import spark.implicits._
@@ -94,21 +102,36 @@ object ManifestCheckpoint {
     val partCol = spec.partitionCols.head
     val keyCol = spec.keyCols.head
     val pending = pendingPartitions(spark, df, partCol, keyCol, manifestDir)
-    pending.foreach { p =>
-      // partition pruning: at scale `where` on the physical partition column
-      // prunes directories; here it prunes row groups
-      val slice = df.where(col(partCol) === p)
-      val run = RowValidator.validate(slice, spec)
-      run.violations.write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/violations/partition_value=$p")
-      val s = run.summary.drop("violations_by_constraint").head()
-      val fp = fingerprints(slice, partCol, keyCol).head()
-      val entry = ManifestEntry(p,
-        fp.getAs[Long]("content_rows"), fp.getAs[Long]("content_hash"),
-        s.getAs[Long]("total_rows"), s.getAs[Long]("error_rows"),
-        s.getAs[Long]("valid_rows"), System.currentTimeMillis())
-      Seq(entry).toDF().write.mode(SaveMode.Append).parquet(manifestDir)
-    }
+    if (pending.isEmpty) return pending
+    // filter on the STRINGIFIED partition value — the exact keying the
+    // fingerprint uses, so non-string partition columns (date, decimal)
+    // can't silently mismatch the manifest entries they produced
+    val slice = df.where(col(partCol).cast("string").isin(pending: _*))
+    val run = RowValidator.validate(slice, spec)
+    run.violations
+      .withColumn("partition_value", col(partCol).cast("string"))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic") // only pending dirs replaced
+      .partitionBy("partition_value")
+      .parquet(s"$outDir/violations")
+    val failed = filter(col(RowValidator.ViolationsCol), _.isNotNull)
+    val now = System.currentTimeMillis()
+    val entries = run.annotated
+      .groupBy(col(partCol).cast("string").as("partition_value"))
+      .agg(
+        count(lit(1)).as("total_rows"),
+        coalesce(sum(when(size(failed) > 0, 1L).otherwise(0L)), lit(0L))
+          .as("error_rows"),
+        expr(s"bit_xor(xxhash64($keyCol))").as("content_hash"))
+      .collect() // O(#pending partitions) rows — driver-safe by construction
+      .map { r =>
+        val total = r.getAs[Long]("total_rows")
+        val errors = r.getAs[Long]("error_rows")
+        ManifestEntry(r.getAs[String]("partition_value"),
+          total, r.getAs[Long]("content_hash"),
+          total, errors, total - errors, now)
+      }
+    entries.toSeq.toDF().write.mode(SaveMode.Append).parquet(manifestDir)
     pending
   }
 }

@@ -9,30 +9,71 @@ import org.apache.spark.sql.functions._
   * MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine.
   * All candidate generation is bucket-local (band hash / bit-chunk /
   * hyperplane bucket): no all-pairs O(n²) stage ever materializes — the only
-  * quadratic work is INSIDE a bucket, which LSH keeps tiny by construction.
-  * That is the property that survives a 100×/10^12-row scale-up. */
+  * quadratic work is INSIDE a bucket, and every bucketed self-join is
+  * skew-guarded by [[Dedup.capBuckets]]: buckets larger than `maxBucketSize`
+  * are dropped (the standard LSH guard — one degenerate bucket of empty or
+  * boilerplate documents would otherwise go quadratic at 10^12 rows). The
+  * dropped buckets are observable via [[Dedup.oversizedBuckets]] for
+  * monitoring; exact-fingerprint dedup already collapses identical docs, so
+  * a dropped bucket means "a >cap cluster of near-identical text", which a
+  * pipeline wants surfaced, not silently pair-joined. */
 object Dedup {
+
+  /** Default bucket-size cap: a bucket of b members generates b² candidate
+    * pairs, so 1000 bounds any single bucket at ~10⁶ pairs regardless of
+    * table size. */
+  val DefaultMaxBucketSize = 1000
 
   /** Rebalance a frame whose partitioning is far below the session's
     * parallelism before a compute-dense per-row stage (signature hashing is
     * ~64 hashes/shingle — a single 2 MB parquet file would otherwise run
     * single-task). At scale the input's own partitioning already exceeds
-    * core count and this is a no-op — no shuffle added. */
+    * core count and this is a no-op — no shuffle added. Partition count is
+    * read from the physical plan's internal-row RDD (no row-deserializing
+    * `df.rdd` lineage, no job). */
   private def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    if (df.queryExecution.toRdd.getNumPartitions * 2 < target)
+      df.repartition(target)
+    else df
   }
+
+  /** Skew guard: keep only rows whose bucket has ≤ maxBucket members. The
+    * window count shuffles+sorts by the bucket key — exactly the exchange +
+    * sort the downstream sort-merge self-join needs, so Catalyst reuses
+    * them (no extra shuffle vs. the uncapped plan). */
+  private def capBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    df.withColumn("_bucket_size", count(lit(1)).over(w))
+      .where(col("_bucket_size") <= maxBucket)
+      .drop("_bucket_size")
+  }
+
+  /** Monitoring view of what a cap would drop: (bucketCols..., bucket_size)
+    * for buckets above the cap. Log/inspect this alongside any capped run —
+    * a silent drop should never read as full coverage. */
+  def oversizedBuckets(df: DataFrame, bucketCols: Seq[String], maxBucket: Int): DataFrame =
+    df.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
 
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a normalized fingerprint. Returns the kept rows
-    * (smallest id per duplicate group wins — deterministic). One shuffle on
-    * the 16-byte fingerprint, payload carried once. */
+    * (smallest id per duplicate group wins — deterministic).
+    *
+    * Scale shape: keeper selection runs on a projected (fingerprint, id)
+    * pair — the wide payload never enters that exchange — and the kept rows
+    * come back via a left-semi join on the id, where Catalyst prunes the
+    * payload from the join exchange too whenever the caller only consumes
+    * key columns (q12 selects ids only ⇒ no text ever shuffles). */
   def exactKeep(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
+    val keepers = df
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
   }
 
   /** Duplicate groups: (text_hash, dup_count, keeper_id). */
@@ -83,9 +124,11 @@ object Dedup {
 
   /** LSH candidate pairs: signatures banded into `bands`; docs sharing any
     * band hash become candidates. Returns (id_a, id_b) with id_a < id_b,
-    * deduped. Collision probability for Jaccard s: 1-(1-s^r)^b. */
+    * deduped. Collision probability for Jaccard s: 1-(1-s^r)^b. Buckets
+    * larger than `maxBucketSize` are dropped (skew guard, see object doc). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignature(shingles(col(textCol), shingleLen), numHashes)
@@ -95,8 +138,9 @@ object Dedup {
       .select(col(idCol).as("_id"), sig.as("_sig"))
       .select(col("_id"), posexplode(bandHashes))
       .select(col("_id"), col("pos").as("_band"), col("col").as("_bandhash"))
-    val a = banded.select(col("_band"), col("_bandhash"), col("_id").as("id_a"))
-    val b = banded.select(col("_band"), col("_bandhash"), col("_id").as("id_b"))
+    val capped = capBuckets(banded, Seq("_band", "_bandhash"), maxBucketSize)
+    val a = capped.select(col("_band"), col("_bandhash"), col("_id").as("id_a"))
+    val b = capped.select(col("_band"), col("_bandhash"), col("_id").as("id_b"))
     a.join(b, Seq("_band", "_bandhash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -106,8 +150,10 @@ object Dedup {
     * (id_a, id_b, jaccard). The verify join re-reads only (id, text). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleLen: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes, bands)
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes,
+      bands, maxBucketSize)
     val sh = ensureParallelism(df)
       .select(col(idCol), shingleSet(col(textCol), shingleLen).as("_sh"))
     cands
@@ -120,18 +166,23 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over token hashes: per-bit majority vote of ±1,
-    * computed in ONE traversal — the aggregate accumulator is the 64-long
-    * vote vector, bit-tested against a literal mask array (variable shifts
-    * aren't expressible, constant masks are; and 64 separate aggregates
-    * would re-hash every token 64×). */
-  def simhash64(c: Column): Column = {
-    val masks = typedlit((0 until 64).map(k => 1L << k))
+  /** SimHash over token hashes: per-bit majority vote of ±1, computed in
+    * ONE traversal — the aggregate accumulator is the bit-length vote
+    * vector, bit-tested against a literal mask array (variable shifts
+    * aren't expressible, constant masks are; and `bits` separate aggregates
+    * would re-hash every token bits×).
+    *
+    * @param bits signature width (≤ 64; the default 64 uses xxhash64)
+    * @param tokenHash per-token hash producing ≥ `bits` usable bits — pass
+    *   [[TextAnalysis.md5Hash60]] with bits=60 for a hash an external SQL
+    *   engine can reproduce (oracle-checkable), keep xxhash64 for speed. */
+  def simhashSig(c: Column, bits: Int, tokenHash: Column => Column): Column = {
+    val masks = typedlit((0 until bits).map(k => 1L << k))
     // hash each token ONCE via transform (a lambda variable is a
-    // materialized value, so the 64 mask tests below don't re-hash)
+    // materialized value, so the mask tests below don't re-hash)
     val votes = aggregate(
-      transform(TextAnalysis.tokens(c), t => xxhash64(t)),
-      array_repeat(lit(0), 64),
+      transform(TextAnalysis.tokens(c), t => tokenHash(t)),
+      array_repeat(lit(0), bits),
       (acc, h) => zip_with(acc, masks,
         (cnt, m) => cnt + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
     aggregate(
@@ -139,32 +190,40 @@ object Dedup {
       lit(0L), (a, b) => a.bitwiseOR(b))
   }
 
-  /** Hamming distance between two 64-bit simhashes. */
+  /** 64-bit SimHash (xxhash64 token hashes — the fast default). */
+  def simhash64(c: Column): Column = simhashSig(c, 64, t => xxhash64(t))
+
+  /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with Hamming ≤ maxHamming, found by the
-    * pigeonhole chunk trick: split the 64-bit hash into `maxHamming+1`
+    * pigeonhole chunk trick: split the `bits`-wide hash into `maxHamming+1`
     * chunks — any pair within the bound must agree on ≥1 whole chunk, so
-    * bucketing by (chunk_idx, chunk_value) finds all of them without an
-    * all-pairs join. */
+    * bucketing by (chunk_idx, chunk_value) finds ALL of them (exact recall)
+    * without an all-pairs join. Oversized chunk buckets are dropped
+    * (skew guard — see object doc). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, bits: Int = 64,
+      tokenHash: Column => Column = t => xxhash64(t),
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
+    require(bits % chunks == 0, s"maxHamming+1=$chunks must divide bits=$bits")
+    val bitsPer = bits / chunks
     val withSig = ensureParallelism(df)
-      .select(col(idCol).as("_id"), simhash64(col(textCol)).as("_sim"))
+      .select(col(idCol).as("_id"), simhashSig(col(textCol), bits, tokenHash).as("_sim"))
     val chunkVals = array((0 until chunks).map(k =>
       shiftright(col("_sim"), k * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))): _*)
     val banded = withSig.select(col("_id"), col("_sim"), posexplode(chunkVals))
       .select(col("_id"), col("_sim"), col("pos").as("_chunk"), col("col").as("_cv"))
-    val a = banded.select(col("_chunk"), col("_cv"),
+    val capped = capBuckets(banded, Seq("_chunk", "_cv"), maxBucketSize)
+    val a = capped.select(col("_chunk"), col("_cv"),
       col("_id").as("id_a"), col("_sim").as("_sim_a"))
-    val b = banded.select(col("_chunk"), col("_cv"),
+    val b = capped.select(col("_chunk"), col("_cv"),
       col("_id").as("id_b"), col("_sim").as("_sim_b"))
     a.join(b, Seq("_chunk", "_cv"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hamming64(col("_sim_a"), col("_sim_b")).as("hamming"))
+        hamming64(col("_sim_a"), col("_sim_b")).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
@@ -173,15 +232,18 @@ object Dedup {
 
   /** Embedding-cosine near-duplicates via random-hyperplane LSH buckets +
     * in-bucket exact cosine verify. Hyperplanes are deterministic (seeded).
+    * Oversized buckets are dropped (skew guard — see object doc).
     * See [[graft.vector.Similarity]] for the primitives. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, cosThreshold: Double = 0.95, planes: Int = 12,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     import graft.vector.Similarity
     val withBucket = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_bucket", Similarity.hyperplaneBucket(col("_v"), dim, planes, seed))
-    val a = withBucket.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
-    val b = withBucket.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
+    val capped = capBuckets(withBucket, Seq("_bucket"), maxBucketSize)
+    val a = capped.select(col("_bucket"), col("_id").as("id_a"), col("_v").as("_va"))
+    val b = capped.select(col("_bucket"), col("_id").as("id_b"), col("_v").as("_vb"))
     a.join(b, Seq("_bucket"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))

@@ -94,4 +94,21 @@ object TextAnalysis {
   def rollingHash(c: Column): Column =
     aggregate(tokens(c), lit(1469598103934665603L),
       (acc, t) => xxhash64(acc, t))
+
+  /** Order-sensitive chained-md5 fingerprint: fold md5(acc || token) over
+    * the token list. Same order-sensitivity as [[rollingHash]] but built
+    * from md5 — an engine-portable hash, so an external SQL engine (the
+    * driver's DuckDB oracle: `list_reduce(... md5(acc||t))`) can reproduce
+    * it byte-for-byte. Prefer [[rollingHash]] (xxhash64) in hot paths. */
+  def chainedFingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(""), (acc, t) => md5(concat(acc, t)))
+
+  /** 60-bit engine-portable token hash: the first 15 hex chars of md5,
+    * parsed as an unsigned integer (fits a signed 64-bit long). Both Spark
+    * (`conv(...,16,10)`) and DuckDB (`CAST('0x'||substr(md5(t),1,15) AS
+    * BIGINT)`) compute the identical value — the hash family that makes
+    * simhash oracle-checkable. ~10× the cost of xxhash64; use only where
+    * cross-engine reproducibility matters. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 }

@@ -81,27 +81,44 @@ object Similarity {
       vecCol: String, k: Int, dim: Int, planes: Int = 6, tables: Int = 8,
       multiProbeBits: Int = 1, seed: Long = 42L): DataFrame = {
     def tableSeed(t: Int): Long = seed + t * 7919L
-    // corpus: one (table, bucket) entry per table
+    // corpus: one (table, bucket) entry per table — the exploded rows carry
+    // ONLY (neighbor_id, bucket); the vector is consumed by the bucket
+    // expressions inside the scan projection and never duplicated ×tables
     val corpusBuckets = array((0 until tables).map(t =>
       struct(lit(t).as("t"),
         hyperplaneBucket(col("_cv"), dim, planes, tableSeed(t)).as("b"))): _*)
     val bucketed = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .withColumn("_tb", explode(corpusBuckets))
-    // query probes: per table, own bucket (+ single-bit flips)
+      .select(col("neighbor_id"), explode(corpusBuckets).as("_tb"))
+    // query probes: per table, every bucket within Hamming ≤ multiProbeBits
+    // of the query's own bucket (standard multi-probe LSH — buys recall
+    // without more tables; probe count = Σ C(planes, h), query-side only)
     val queryProbes = array((0 until tables).flatMap { t =>
       val own = hyperplaneBucket(col("_qv"), dim, planes, tableSeed(t))
-      val probes = if (multiProbeBits <= 0) Seq(own)
-      else own +: (0 until planes).map(p => own.bitwiseXOR(lit(1L << p)))
+      val probes = (0 to math.max(0, multiProbeBits)).flatMap(h =>
+        (0 until planes).combinations(h).map(flip =>
+          flip.foldLeft(own)((b, p) => b.bitwiseXOR(lit(1L << p)))))
       probes.map(b => struct(lit(t).as("t"), b.as("b")))
     }: _*)
     val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val qProbes = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .withColumn("_tb", explode(queryProbes)))
-    val scored = bucketed.join(q, Seq("_tb"))
+      .select(col("query_id"), explode(queryProbes).as("_tb")))
+    // candidate id pairs, deduped on IDS ONLY (a pair may collide in
+    // several tables) — the round-1 plan shuffled both 64-dim vectors
+    // through this distinct; ids are ~16 B/row instead
+    val candIds = bucketed.join(qProbes, Seq("_tb"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
-      .distinct() // a pair may collide in several tables
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    // score pass: re-read corpus vectors (projection-pruned scan), hash-join
+    // against the (small: ≤ |Q|·tables·bucket) candidate set — no corpus
+    // shuffle at any point
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .join(broadcast(candIds), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
