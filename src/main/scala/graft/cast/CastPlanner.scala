@@ -72,11 +72,57 @@ object CastPlanner {
     * registry rows at :112-122. */
   def strToNumericWithTrim(c: Column, tgt: DataType): Column = trim(c).cast(tgt)
 
+  /** Integral targets Spark lacks, as (storage type, min, max) — the
+    * documented narrowings of SURVEY §1.3. Int128's true extremes (±2^127 ≈
+    * ±1.70e38) exceed Spark's widest exact integral (Decimal 38 digits), so
+    * int128 is range-limited to ±(10^38−1): a documented deviation — values
+    * beyond 38 digits raise instead of wrapping. */
+  val integralHints: Map[String, (DataType, BigDecimal, BigDecimal)] = Map(
+    "uint8" -> ((ShortType, BigDecimal(0), BigDecimal(255))),
+    "uint16" -> ((IntegerType, BigDecimal(0), BigDecimal(65535))),
+    "uint32" -> ((LongType, BigDecimal(0), BigDecimal(4294967295L))),
+    "uint64" -> ((DecimalType(20, 0), BigDecimal(0),
+      BigDecimal("18446744073709551615"))),
+    "int128" -> ((DecimalType(38, 0),
+      BigDecimal("-" + "9" * 38), BigDecimal("9" * 38))),
+  )
+
+  /** Strict range-guarded integral cast for [[integralHints]] targets:
+    * trims, rejects non-integer strings (a plain Decimal cast would ROUND
+    * "1.5"; the reference errors), range-checks, then casts to the storage
+    * type. Null passes through (`_cast_functions.py` strict casts are
+    * null-preserving, tests :352-366). */
+  def strToHintedIntegral(c: Column, hint: String): Column = {
+    val (tgt, min, max) = integralHints.getOrElse(hint,
+      throw new IllegalArgumentException(s"unknown integral cast hint: $hint"))
+    val t = trim(c)
+    val parsed = t.cast(DecimalType(38, 0))
+    when(c.isNull, lit(null).cast(tgt))
+      .when(!t.rlike("^[+-]?[0-9]{1,38}$"),
+        raise_error(concat(lit(s"str_to_$hint: invalid integer string: '"),
+          c, lit("'"))).cast(tgt))
+      .when(parsed < lit(min.bigDecimal) || parsed > lit(max.bigDecimal),
+        raise_error(concat(lit(s"str_to_$hint: value out of range: '"),
+          c, lit("'"))).cast(tgt))
+      .otherwise(parsed.cast(tgt))
+  }
+
+  /** Convenience spec builder for an [[integralHints]] target:
+    * `integralColumn("v", "uint64")` ⇒ Decimal(20,0) storage + the strict
+    * range-guarded cast. */
+  def integralColumn(name: String, hint: String, nullable: Boolean = false): ColumnSpec =
+    ColumnSpec(name, integralHints(hint)._1, nullable, castHint = Some(hint))
+
   /** Build the cast expression for one column. */
   def castExpr(src: DataType, spec: ColumnSpec, sourceName: String): Column = {
     val c = col(sourceName)
     val tgt = spec.dataType
     val out: Column = (src, tgt) match {
+      case (StringType, _) if spec.castHint.isDefined =>
+        val hint = spec.castHint.get
+        require(integralHints.get(hint).exists(_._1 == tgt),
+          s"castHint '$hint' requires dataType ${integralHints.get(hint).map(_._1)}, got $tgt")
+        strToHintedIntegral(c, hint)
       case (s, t) if s == t => c
       case (StringType, BooleanType) => strToBool(c, spec)
       case (StringType, DateType) => strToDate(c, spec)

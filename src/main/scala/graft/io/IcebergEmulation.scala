@@ -53,4 +53,12 @@ object IcebergEmulation {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Read with the spec's schema — the emulation of Iceberg's
+    * metadata-carried schema: an EMPTY table (zero data files) still reads
+    * with its declared columns, exactly like `table.scan()` on a fresh
+    * Iceberg table (`tests/e2e/test_iceberg_polars_integration.py:126-166`).
+    * Plain parquet cannot infer a schema from zero files. */
+  def read(spark: SparkSession, path: String, spec: TableSpec): DataFrame =
+    spark.read.schema(spec.toStructType()).parquet(path)
 }

@@ -67,7 +67,15 @@ object SchemaValidator {
     * constraint keys (the reference embeds pydantic Field constraints the
     * same way; `core/types.py:206-217` consumes them). */
   def columnToJsonSchema(c: ColumnSpec): JValue = {
-    val base = typeToJsonSchema(c.dataType)
+    val derived = typeToJsonSchema(c.dataType)
+    // spec-level format override (e.g. Some("uuid") on a StringType column
+    // — Spark has no UUID type): replaces any type-derived format so the
+    // lattice rejects uuid-vs-plain-string (iceberg/json_schema.py:52-55)
+    val base = c.format match {
+      case Some(f) => JObject(derived.obj.filterNot(_._1 == "format") :+
+        ("format" -> JString(f): JField))
+      case None => derived
+    }
     val constraintFields: List[JField] = c.constraints.flatMap(_.jsonKey).collect {
       case (k, v: Double) if v.isWhole => k -> JInt(BigInt(v.toLong))
       case (k, v: Double) => k -> JDouble(v)

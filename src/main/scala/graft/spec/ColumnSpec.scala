@@ -33,6 +33,20 @@ final case class ColumnSpec(
     boolFalseString: String = "false",
     dateFormat: String = "%Y-%m-%d",
     constraints: Seq[Constraint] = Nil,
+    /** AliasChoices analog: candidate validation aliases; resolved like
+      * `get_validation_alias` (`core/pydantic/field_info.py:19-47`) —
+      * serialization alias excluded, >1 survivor is an error. Wins over
+      * [[validationAlias]] when non-empty. */
+    validationAliasChoices: Seq[String] = Nil,
+    /** JSON-schema `format` override for types Spark cannot express —
+      * `Some("uuid")` marks a StringType column as a declared UUID, emitted
+      * into the schema lattice so uuid-vs-plain-string mismatches are
+      * REJECTED (parity with `iceberg/json_schema.py:52-55`). */
+    format: Option[String] = None,
+    /** Cast-time refinement for integral targets Spark lacks (uint8/16/32/
+      * 64, int128): selects the range-guarded strict cast in CastPlanner.
+      * See [[graft.cast.CastPlanner.integralHints]]. */
+    castHint: Option[String] = None,
 ) {
 
   /** Alias resolution: each view falls back to the field name — the collapse
@@ -42,7 +56,11 @@ final case class ColumnSpec(
     * the per-view option. */
   def nameFor(alias: AliasType): String = alias match {
     case AliasType.Serialization => serializationAlias.getOrElse(name)
-    case AliasType.Validation => validationAlias.getOrElse(name)
+    case AliasType.Validation =>
+      if (validationAliasChoices.nonEmpty)
+        ColumnSpec.resolveValidationAlias(validationAliasChoices,
+          serializationAlias.getOrElse(name))
+      else validationAlias.getOrElse(name)
   }
 
   /** All data-level checks for this column: NotNull derived from
@@ -68,6 +86,19 @@ final case class ColumnSpec(
 }
 
 object ColumnSpec {
+
+  /** AliasChoices flattening (`get_validation_alias`,
+    * `core/pydantic/field_info.py:28-47`): drop the serialization alias from
+    * the candidates; none left ⇒ the serialization alias itself; exactly one
+    * ⇒ it; more ⇒ error with the reference's message bytes (Python list
+    * repr of the surviving aliases). */
+  def resolveValidationAlias(choices: Seq[String], serializationAlias: String): String = {
+    val aliases = choices.filterNot(_ == serializationAlias)
+    if (aliases.isEmpty) serializationAlias
+    else if (aliases.size == 1) aliases.head
+    else throw new IllegalArgumentException(
+      s"Invalid validation alias: [${aliases.map(a => s"'$a'").mkString(", ")}]")
+  }
 
   /** Reconstruct the ColumnInfo portion from a JSON metadata document,
     * with the same validation gates and error messages as
@@ -160,4 +191,12 @@ object TableSpec {
   def fromStructType(name: String, st: StructType): TableSpec =
     TableSpec(name, st.fields.toSeq.map(f =>
       ColumnSpec(f.name, f.dataType, f.nullable)))
+
+  /** Case-class derivation (SURVEY §7.4 risk 4 / the pydantic-model
+    * ergonomics): schema via Spark's own product encoder, so nullability
+    * follows Scala optionality (`Option[T]` ⇒ nullable, primitives ⇒
+    * required) exactly as `Dataset[T]` would see it. */
+  def fromCaseClass[T <: Product : scala.reflect.runtime.universe.TypeTag](
+      name: String): TableSpec =
+    fromStructType(name, org.apache.spark.sql.Encoders.product[T].schema)
 }

@@ -48,6 +48,12 @@ object ValidationSuite {
         * compiles to a SortAggregate (first() per key), which is wasted
         * work for the usual curated-unique catalog. */
       dedupCatalog: Boolean = false,
+      /** Column bindings — the suite works on any spec'd table, these name
+        * the audio payload, its codec tag, and the text column compared
+        * against the catalog (which must carry the same text column name). */
+      payloadCol: String = "bytes",
+      codecCol: String = "codec",
+      transcriptCol: String = "transcript",
   )
 
   /** Per-partition suite summary: one output row per partition-column
@@ -74,13 +80,13 @@ object ValidationSuite {
       (key +: parts).distinct.map(col) ++ Seq(
         col(RowValidator.ViolationsCol),
         col(cfg.driftCol).cast("double").as("_drift_val"),
-        when(sampled, snrUdf(col(key), col("bytes"), col("codec")))
+        when(sampled, snrUdf(col(key), col(cfg.payloadCol), col(cfg.codecCol)))
           .as("_snr_db"),
-        col("transcript").as("_transcript"))
+        col(cfg.transcriptCol).as("_transcript"))
     val narrow = annotated0.select(narrowCols: _*)
 
     // ---- referential join on projected key (also brings ref transcript)
-    val cat0 = catalog.select(col(key), col("transcript").as("_ref_transcript"))
+    val cat0 = catalog.select(col(key), col(cfg.transcriptCol).as("_ref_transcript"))
     val cat = if (cfg.dedupCatalog) cat0.dropDuplicates(Seq(key)) else cat0
     val joined = narrow.join(cat, Seq(key), "left_outer")
 

@@ -1,0 +1,107 @@
+package graft.io
+
+import graft.TestSpark
+import graft.schema.SchemaValidator
+import graft.spec._
+import graft.validate.RowValidator
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** E2E round-trip parity with the reference's Iceberg↔Polars integration
+  * suite (`tests/e2e/test_iceberg_polars_integration.py:36-215`): model →
+  * create table → append → scan → validate, including the empty-table and
+  * all-null-optionals paths, plus the 16-row primitive matrix of
+  * `tests/iceberg/test_model.py:27-61` against the emitted DDL. */
+class IcebergRoundTripSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // ProductModel fixture (tests/e2e/...:22-30, FIXTURES.md §5)
+  private val productSpec = TableSpec("products", Seq(
+    ColumnSpec("id", IntegerType),
+    ColumnSpec("name", StringType),
+    ColumnSpec("price", DoubleType),
+    ColumnSpec("description", StringType, nullable = true),
+    ColumnSpec("quantity", IntegerType, nullable = true),
+    ColumnSpec("is_active", BooleanType)))
+
+  private val productRows = Seq(
+    Row(1, "Widget", 9.99, "A simple widget", 100, true),
+    Row(2, "Gadget", 19.99, null, null, false), // nulls in optionals (:79-88)
+    Row(3, "Doohickey", 4.5, "Cheap", 7, true))
+
+  private def writeRead(rows: Seq[Row]): org.apache.spark.sql.DataFrame = {
+    val path = Files.createTempDirectory("graft-e2e").toString + "/t"
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, rows.size)),
+      productSpec.toStructType())
+    IcebergEmulation.write(df, productSpec, path)
+    IcebergEmulation.read(spark, path, productSpec)
+  }
+
+  test("model -> create DDL -> append -> scan -> verify rows incl. nulls (:36-124)") {
+    val ddl = IcebergEmulation.createTableDdl(productSpec, "cat.db.products",
+      bucketKey = false)
+    assert(ddl.startsWith("CREATE TABLE cat.db.products ("))
+    assert(ddl.contains("id INT NOT NULL"))
+    assert(ddl.contains("description STRING")
+      && !ddl.contains("description STRING NOT NULL"))
+    val back = writeRead(productRows)
+    assert(back.count() === 3)
+    val sorted = back.orderBy("id").collect()
+    assert(sorted(0).getString(1) === "Widget")
+    assert(sorted(1).isNullAt(3) && sorted(1).isNullAt(4)) // optionals null
+    // schema validates against the live table
+    assert(SchemaValidator.validateSchema(productSpec, back.schema).isEmpty)
+    // and the row validator agrees the nulls are legal (optionals)
+    assert(RowValidator.validate(back, productSpec).violations.count() === 0)
+  }
+
+  test("empty table round-trip: schema survives, success_rate 1.0 (:126-166)") {
+    val back = writeRead(Nil)
+    assert(back.count() === 0)
+    // file sources force nullable=true on read; names+types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      productSpec.toStructType().map(f => (f.name, f.dataType)))
+    assert(SchemaValidator.validateSchema(productSpec, back.schema).isEmpty)
+    val run = RowValidator.validate(back, productSpec)
+    assert(run.violations.count() === 0)
+    assert(run.errors().isEmpty) // empty frame reports no errors (:228-254)
+  }
+
+  test("all-null optional columns round-trip (:168-202)") {
+    val rows = Seq(
+      Row(1, "A", 1.0, null, null, true),
+      Row(2, "B", 2.0, null, null, false))
+    val back = writeRead(rows)
+    assert(back.count() === 2)
+    assert(back.where(back("description").isNull).count() === 2)
+    assert(RowValidator.validate(back, productSpec).violations.count() === 0)
+  }
+
+  test("16-row primitive matrix -> DDL type + NOT NULL flags (test_model.py:27-61)") {
+    // (reference python type, our Spark type per SURVEY §1.3)
+    val primitives: Seq[(String, DataType)] = Seq(
+      "int" -> IntegerType, // iceberg int is 32-bit (iceberg/model.py:77-78)
+      "str" -> StringType,
+      "bool" -> BooleanType,
+      "date" -> DateType,
+      "float" -> DoubleType, // iceberg double (iceberg/model.py:81-82)
+      "bytes" -> BinaryType,
+      "uuid" -> StringType, // Spark has no UUID type; format carried in spec
+      "datetime" -> TimestampNTZType) // iceberg timestamp has no tz
+    val expectedDdl = Map[DataType, String](
+      IntegerType -> "INT", StringType -> "STRING", BooleanType -> "BOOLEAN",
+      DateType -> "DATE", DoubleType -> "DOUBLE", BinaryType -> "BINARY",
+      TimestampNTZType -> "TIMESTAMP_NTZ")
+    for ((_, dt) <- primitives; required <- Seq(true, false)) {
+      val spec = TableSpec("m", Seq(
+        ColumnSpec("field_name", dt, nullable = !required)))
+      val ddl = IcebergEmulation.createTableDdl(spec, "t", bucketKey = false)
+      val want = s"field_name ${expectedDdl(dt)}" + (if (required) " NOT NULL" else "")
+      assert(ddl.contains(want), s"$dt required=$required:\n$ddl")
+      if (!required) assert(!ddl.contains(s"$want NOT NULL"))
+    }
+  }
+}

@@ -1,0 +1,121 @@
+package graft.plan
+
+import graft.TestSpark
+import graft.dedup.Dedup
+import graft.io.{ClipsGenerator, IcebergEmulation}
+import graft.spec._
+import graft.validate.{RowValidator, UniquenessCheck}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Plan-shape regression tests — the engine's core scale claims, pinned by
+  * reading the physical plan instead of trusting the docs:
+  *  1. constraint negations reach the parquet scan as PushedFilters,
+  *  2. the wide binary payload is pruned from violation/summary scans,
+  *  3. keys-only operators never shuffle payload columns.
+  * A plan that silently regresses on any of these still passes every
+  * value-level test but dies at 100 TB; this suite makes the regression a
+  * test failure instead. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Clips parquet with the binary payload, written once for the suite. */
+  lazy val clipsPath: String = {
+    val p = Files.createTempDirectory("graft-planshape").toString + "/clips"
+    IcebergEmulation.write(
+      ClipsGenerator.clips(spark, 2000, numPartitions = 4, withErrors = true,
+        maxSynthMs = 10).toDF(),
+      ClipsGenerator.spec, p)
+    p
+  }
+
+  private def planString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Shuffle output attributes with AQE off — AdaptiveSparkPlanExec hides
+    * the exchanges from `collect` until stages materialize. */
+  private def shuffleOutputs(mk: => org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e.output.map(_.name).toSeq
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("range-constraint violation filter is pushed into the parquet scan") {
+    val df = spark.read.parquet(clipsPath)
+      .where(!Maximum(48000).holds(col("sr_hz")))
+      .select("clip_id", "sr_hz")
+    val plan = planString(df)
+    // the negated maximum must appear as a pushed GreaterThan on sr_hz
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("GreaterThan(sr_hz,48000"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
+  test("violations and summary plans prune every unconstrained column") {
+    val df = spark.read.parquet(clipsPath)
+    // a spec whose payload column carries NO check: the scan must then skip
+    // the binary column entirely. (With the full clips spec, bytes IS read —
+    // but only because its NotNull check semantically requires it.)
+    val spec = ClipsGenerator.spec.copy(columns = ClipsGenerator.spec.columns.map(c =>
+      if (c.name == "bytes") c.copy(nullable = true, constraints = Nil) else c))
+    val run = RowValidator.validate(df, spec)
+    for (plan <- Seq(planString(run.violations), planString(run.summary))) {
+      val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(readSchemas.nonEmpty, plan.take(2000))
+      assert(!readSchemas.exists(_.contains("bytes")),
+        s"unconstrained payload column read by a metadata-only check:\n${readSchemas.mkString("\n")}")
+    }
+  }
+
+  test("uniqueness check shuffles projected keys only — no payload") {
+    val shuffles = shuffleOutputs(
+      UniquenessCheck.duplicateKeys(spark.read.parquet(clipsPath), Seq("clip_id")))
+    assert(shuffles.nonEmpty)
+    assert(!shuffles.exists(cols => cols.contains("bytes") || cols.contains("transcript")),
+      s"payload in uniqueness shuffle: $shuffles")
+  }
+
+  test("exactKeep on keys-only consumer shuffles no text column") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shuffles = shuffleOutputs(
+      Dedup.exactKeep(docs, "doc_id", "text").select("doc_id"))
+    assert(shuffles.nonEmpty)
+    assert(!shuffles.exists(_.contains("text")),
+      s"text column in exactKeep shuffle: $shuffles")
+    // and it still computes the right thing
+    assert(Dedup.exactKeep(docs, "doc_id", "text").select("doc_id").count() ===
+      Dedup.exactKeep(docs, "doc_id", "text").count())
+  }
+
+  test("LSH bucket cap bounds a pathological duplicate bucket") {
+    import spark.implicits._
+    // 120 identical docs + 2 distinct near-dups: every band bucket of the
+    // identical cluster has 120 members -> dropped at cap 50; the pair
+    // outside the cluster survives
+    val boiler = (1L to 120L).map(i => (i, "the same boilerplate text repeated here " * 3))
+    val near = Seq(
+      (200L, "a unique document about spark plans and exchanges today"),
+      (201L, "a unique document about spark plans and exchanges tonight"))
+    val docs = (boiler ++ near).toDF("doc_id", "text")
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = 50)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => a >= 200 && b >= 200 },
+      s"boilerplate cluster leaked past the cap: ${pairs.take(5).mkString(",")}")
+    // monitoring view surfaces what was dropped
+    val sig = Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = Int.MaxValue)
+    assert(sig.count() >= 120L * 119 / 2) // uncapped: full quadratic cluster
+    // and the capped candidate count is bounded far below quadratic
+    assert(pairs.length < 100)
+  }
+
+  test("oversizedBuckets reports dropped buckets for monitoring") {
+    import spark.implicits._
+    val df = Seq.fill(30)("k").zipWithIndex.map(_.swap).toDF("id", "k")
+    val over = Dedup.oversizedBuckets(df, Seq("k"), maxBucket = 10).collect()
+    assert(over.length === 1)
+    assert(over.head.getAs[Long]("bucket_size") === 30L)
+  }
+}
