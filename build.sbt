@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default: the compute-dense bench allocates GB/s of short-lived
+  // arrays across 32 threads; an 8g heap put young-gen GC on the critical
+  // path at high parallelism (host has 126 GiB — 12-16g is the measured
+  // sweet spot before RawLocalFileSystem's fork cost starts growing)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 ) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc:file=$f").toSeq
