@@ -156,7 +156,11 @@ object Bench {
       else {
         val spark = session(cpus)
         OracleTables.ensure(spark, SparkEntry.clipCount(sfDir))
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // SPARK_GRAFT_ONLY=q17,q14 → time just those queries (iteration aid)
+        val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+        val r = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter(q => only.forall(_.exists(q._1.startsWith)))
+          .map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }

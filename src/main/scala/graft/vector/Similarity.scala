@@ -92,19 +92,25 @@ object Similarity {
       .select(col("neighbor_id"), explode(corpusBuckets).as("_tb"))
     // query probes: per table, every bucket within Hamming ≤ multiProbeBits
     // of the query's own bucket (standard multi-probe LSH — buys recall
-    // without more tables; probe count = Σ C(planes, h), query-side only)
-    val queryProbes = array((0 until tables).flatMap { t =>
-      val own = hyperplaneBucket(col("_qv"), dim, planes, tableSeed(t))
-      val probes = (0 to math.max(0, multiProbeBits)).flatMap(h =>
-        (0 until planes).combinations(h).map(flip =>
-          flip.foldLeft(own)((b, p) => b.bitwiseXOR(lit(1L << p)))))
-      probes.map(b => struct(lit(t).as("t"), b.as("b")))
-    }: _*)
+    // without more tables; probe count = Σ C(planes, h), query-side only).
+    // Two-stage expansion: materialize each table's own bucket FIRST (one
+    // hyperplane evaluation per table), then derive the probe variants by
+    // bit-xor on the materialized column — inlining the bucket expression
+    // into every probe would hand codegen Σ C(planes,h) copies of the
+    // dot-product tree per table (measured: seconds of janino compile).
+    val ownBuckets = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        hyperplaneBucket(col("_qv"), dim, planes, tableSeed(t)).as("b"))): _*)
+    val flips: Seq[Long] = (0 to math.max(0, multiProbeBits)).flatMap(h =>
+      (0 until planes).combinations(h).map(_.foldLeft(0L)((m, p) => m | (1L << p))))
+    val probeVariants = array(flips.map(m =>
+      struct(col("_own.t").as("t"), col("_own.b").bitwiseXOR(lit(m)).as("b"))): _*)
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val qProbes = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .select(col("query_id"), explode(queryProbes).as("_tb")))
+      .select(col("query_id"), explode(ownBuckets).as("_own"))
+      .select(col("query_id"), explode(probeVariants).as("_tb")))
     // candidate id pairs, deduped on IDS ONLY (a pair may collide in
     // several tables) — the round-1 plan shuffled both 64-dim vectors
     // through this distinct; ids are ~16 B/row instead
