@@ -187,6 +187,14 @@ object SparkEntry {
       graft.dedup.Dedup.embeddingNearDups(tbl(s, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, cosThreshold = 0.9)),
 
+    // Exact n-gram Jaccard scoring: broadcast query docs vs the full corpus
+    // (the brute-force ground truth of the dedup family, as q16 is for ANN)
+    "q31_ngram_jaccard" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.dedup.Dedup.jaccardScores(docs,
+        docs.where(col("doc_id") < 50), "doc_id", "text", threshold = 0.2)
+    }),
+
     // Order-sensitive chained-md5 fingerprint (the oracle-checkable form of
     // the rolling hash; the xxhash64 rollingHash variant stays the hot-path
     // op, covered by TextAnalysisSpec)
@@ -445,6 +453,24 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      """WITH t AS (
+        | SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+        |), s AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |   THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        | FROM t
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 50
+        |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2""".stripMargin,
 
     // brute-force simhash over the same 60-bit md5 token hash; pigeonhole
     // chunking has exact recall so the Spark result equals this scan

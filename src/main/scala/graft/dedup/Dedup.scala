@@ -103,6 +103,25 @@ object Dedup {
     when(uni === 0, 1.0).otherwise(inter / uni)
   }
 
+  /** Exact n-gram Jaccard scores between a (small) query set and the
+    * corpus — the brute-force ground truth the LSH pipeline is verified
+    * against, and the primitive for "score these candidate docs against
+    * everything". Queries are broadcast; the corpus is never shuffled.
+    * Quadratic in |queries|×|corpus|: use [[minhashNearDups]] for
+    * corpus-vs-corpus at scale. */
+  def jaccardScores(corpus: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleLen: Int = 3): DataFrame = {
+    val c = corpus.select(col(idCol).as("id_b"),
+      shingleSet(col(textCol), shingleLen).as("_sh_b"))
+    val q = broadcast(queries.select(col(idCol).as("id_a"),
+      shingleSet(col(textCol), shingleLen).as("_sh_a")))
+    c.crossJoin(q)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash signature: `numHashes` minima of per-seed shingle hashes,

@@ -111,6 +111,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pairs.length < 100)
   }
 
+  test("fused suite shuffles carry no binary payload (consumed in-scan)") {
+    val clips = spark.read.parquet(clipsPath)
+    val catalog = ClipsGenerator.catalog(spark, 2000, numPartitions = 4)
+    val shuffles = shuffleOutputs(
+      graft.validate.ValidationSuite.run(clips, catalog, ClipsGenerator.spec,
+        graft.validate.ValidationSuite.Config(maxSynthMs = 10)))
+    assert(shuffles.nonEmpty)
+    assert(!shuffles.exists(_.contains("bytes")),
+      s"payload entered a suite exchange: $shuffles")
+  }
+
+  test("checkpoint resume runs a constant number of jobs (batched, not per-partition)") {
+    val sc = spark.sparkContext
+    val tmp = Files.createTempDirectory("graft-ckpt-jobs").toString
+    val df = spark.read.parquet(clipsPath)
+    sc.setJobGroup("ckpt-jobs", "checkpoint job-count regression")
+    try {
+      graft.checkpoint.ManifestCheckpoint.runResumable(spark, df,
+        ClipsGenerator.spec, s"$tmp/manifest", s"$tmp/out")
+    } finally sc.clearJobGroup()
+    Thread.sleep(500) // status store is fed asynchronously
+    val jobs = sc.statusTracker.getJobIdsForGroup("ckpt-jobs").length
+    // 4 codec partitions; the round-1 per-partition loop ran ~2 jobs per
+    // partition (+writes). Batched: pending-scan + violations write +
+    // summary/fingerprint agg + manifest append ≈ 4-6 incl. AQE stages.
+    assert(jobs > 0 && jobs <= 8, s"expected constant job count, got $jobs")
+  }
+
   test("oversizedBuckets reports dropped buckets for monitoring") {
     import spark.implicits._
     val df = Seq.fill(30)("k").zipWithIndex.map(_.swap).toDF("id", "k")
