@@ -25,10 +25,9 @@ import java.util.Locale
   */
 object Bench {
 
-  /** Timed reps per parallelism level; the compute-dense path is the
-    * headline scaling criterion, so it gets extra samples. */
+  /** Timed reps per parallelism level (min + median over these). */
   val ScanReps = 3
-  val DenseReps = 5
+  val DenseReps = 3
 
   def session(cpus: Int): SparkSession = {
     // shuffle/spill on tmpfs: this sandbox's virtio disk turns syscall-heavy
@@ -206,6 +205,8 @@ object Bench {
     // executor runs at 100% host subscription.
     val subLow = math.max(1, cpus / 8)
     val subHigh = math.max(subLow * 4, 2)
+    // 4M floor: at 2M the 16-thread walls drop under ~4 s and per-job
+    // scheduling latency starts polluting the ratio
     val subN = math.min(clipsN, 4000000L)
     val (subWallsLow, subWalls) =
       if (scaling && subHigh < cpus)

@@ -21,7 +21,16 @@ object OracleTables {
   /** Inside the repo tree (driver rule: don't write outside /root/repo). */
   val Root = "/root/repo/target/graft-oracle"
 
-  def dir(n: Long): String = s"$Root/n$n"
+  /** Bump when ClipsGenerator's recipe or error injection changes — the
+    * path carries it so stale materializations can never silently diverge
+    * from the generator. */
+  val GeneratorVersion = 1
+
+  /** All callers use the same synth cap; it is part of the bytes, so it is
+    * part of the path. */
+  val MaxSynthMs = 25
+
+  def dir(n: Long): String = s"$Root/v$GeneratorVersion-ms$MaxSynthMs-n$n"
 
   def clipsPath(n: Long): String = s"${dir(n)}/clips"
   def catalogPath(n: Long): String = s"${dir(n)}/catalog"
@@ -29,7 +38,8 @@ object OracleTables {
   /** Ensure the tables exist; returns the base dir. Clips are written WITH
     * injected errors (FIXTURES.md §1) — the violation-finding queries need
     * violations to find. */
-  def ensure(spark: SparkSession, n: Long, maxSynthMs: Int = 25): String = synchronized {
+  def ensure(spark: SparkSession, n: Long, maxSynthMs: Int = MaxSynthMs): String = synchronized {
+    require(maxSynthMs == MaxSynthMs, s"oracle tables are pinned to maxSynthMs=$MaxSynthMs")
     val base = new java.io.File(dir(n))
     val marker = new java.io.File(base, "_GRAFT_DONE")
     if (!marker.exists()) {
