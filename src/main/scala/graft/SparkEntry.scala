@@ -149,9 +149,14 @@ object SparkEntry {
     // (candidate explosion — measured 204s at sf0.1 with bigrams);
     // trigrams restore discrimination (the reference corpus granularity
     // most dedup pipelines use).
+    // cap disabled here: this query's oracle is an UNCAPPED all-pairs scan,
+    // so the skew guard (production default) must not drop any bucket —
+    // exactness is the claim under test. Production callers keep the cap
+    // and monitor Dedup.oversizedBuckets.
     "q14_minhash_neardups" -> ((s, dir) =>
       graft.dedup.Dedup.minhashNearDups(tbl(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.8, shingleLen = 3)),
+        "doc_id", "text", threshold = 0.8, shingleLen = 3,
+        maxBucketSize = Int.MaxValue)),
 
     // SimHash near-dup pairs via pigeonhole chunks. Uses the 60-bit
     // md5-derived token hash (TextAnalysis.md5Hash60) so the DuckDB oracle
@@ -161,7 +166,8 @@ object SparkEntry {
     "q15_simhash_neardups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashNearDups(tbl(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3, bits = 60,
-        tokenHash = TextAnalysis.md5Hash60)),
+        tokenHash = TextAnalysis.md5Hash60,
+        maxBucketSize = Int.MaxValue)), // uncapped: oracle asserts exactness
 
     // Brute-force cosine top-k (ANN correctness baseline; rows-only)
     "q16_ann_bruteforce" -> ((s, dir) => {
@@ -467,7 +473,7 @@ object SparkEntry {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |FROM s a JOIN s b ON a.doc_id <> b.doc_id
         |WHERE a.doc_id < 50
         |  AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2""".stripMargin,

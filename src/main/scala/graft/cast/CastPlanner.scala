@@ -88,23 +88,31 @@ object CastPlanner {
   )
 
   /** Strict range-guarded integral cast for [[integralHints]] targets:
-    * trims, rejects non-integer strings (a plain Decimal cast would ROUND
-    * "1.5"; the reference errors), range-checks, then casts to the storage
-    * type. Null passes through (`_cast_functions.py` strict casts are
+    * for string sources, trims and rejects non-integer strings (a plain
+    * Decimal cast would ROUND "1.5"; the reference errors); for numeric
+    * sources the same range guard applies directly — a hinted column keeps
+    * its unsigned/128-bit range promise regardless of what type feeds it.
+    * Null passes through (`_cast_functions.py` strict casts are
     * null-preserving, tests :352-366). */
-  def strToHintedIntegral(c: Column, hint: String): Column = {
+  def hintedIntegral(c: Column, src: DataType, hint: String): Column = {
     val (tgt, min, max) = integralHints.getOrElse(hint,
       throw new IllegalArgumentException(s"unknown integral cast hint: $hint"))
-    val t = trim(c)
+    val isStr = src == StringType
+    val t = if (isStr) trim(c) else c
     val parsed = t.cast(DecimalType(38, 0))
-    when(c.isNull, lit(null).cast(tgt))
-      .when(!t.rlike("^[+-]?[0-9]{1,38}$"),
-        raise_error(concat(lit(s"str_to_$hint: invalid integer string: '"),
-          c, lit("'"))).cast(tgt))
-      .when(parsed < lit(min.bigDecimal) || parsed > lit(max.bigDecimal),
+    val rangeChecked =
+      when(parsed < lit(min.bigDecimal) || parsed > lit(max.bigDecimal),
         raise_error(concat(lit(s"str_to_$hint: value out of range: '"),
-          c, lit("'"))).cast(tgt))
+          c.cast(StringType), lit("'"))).cast(tgt))
       .otherwise(parsed.cast(tgt))
+    if (isStr)
+      when(c.isNull, lit(null).cast(tgt))
+        .when(!t.rlike("^[+-]?[0-9]{1,38}$"),
+          raise_error(concat(lit(s"str_to_$hint: invalid integer string: '"),
+            c, lit("'"))).cast(tgt))
+        .otherwise(rangeChecked)
+    else
+      when(c.isNull, lit(null).cast(tgt)).otherwise(rangeChecked)
   }
 
   /** Convenience spec builder for an [[integralHints]] target:
@@ -118,11 +126,11 @@ object CastPlanner {
     val c = col(sourceName)
     val tgt = spec.dataType
     val out: Column = (src, tgt) match {
-      case (StringType, _) if spec.castHint.isDefined =>
+      case (_, _) if spec.castHint.isDefined =>
         val hint = spec.castHint.get
         require(integralHints.get(hint).exists(_._1 == tgt),
           s"castHint '$hint' requires dataType ${integralHints.get(hint).map(_._1)}, got $tgt")
-        strToHintedIntegral(c, hint)
+        hintedIntegral(c, src, hint)
       case (s, t) if s == t => c
       case (StringType, BooleanType) => strToBool(c, spec)
       case (StringType, DateType) => strToDate(c, spec)

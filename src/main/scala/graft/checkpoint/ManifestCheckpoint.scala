@@ -40,13 +40,21 @@ object ManifestCheckpoint {
   )
 
   /** Order-independent content fingerprint per partition: (rows, xor of
-    * key hashes) — one column-pruned aggregation. */
-  def fingerprints(df: DataFrame, partitionCol: String, keyCol: String): DataFrame =
+    * WHOLE-ROW hashes) — one aggregation. Hashing every column (not just
+    * the key) means any in-place edit — a nulled field, corrupted payload
+    * bytes — flips the fingerprint and re-queues the partition; a key-only
+    * hash would silently skip re-validation of rows whose key survived the
+    * change. Cost: the resume check reads the full partition once; on real
+    * Iceberg this whole mechanism is replaced by snapshot/data-file ids
+    * (metadata-only), the adapter seam this emulates. */
+  def fingerprints(df: DataFrame, partitionCol: String, keyCol: String): DataFrame = {
+    val allCols = df.columns.map(c => s"`$c`").mkString(", ")
     df.groupBy(col(partitionCol).cast("string").as("partition_value"))
       .agg(count(lit(1)).as("content_rows"),
-        // BIT_XOR aggregate of per-key hashes: associative+commutative, so
+        // BIT_XOR aggregate of per-row hashes: associative+commutative, so
         // partition layout / task order can't change the fingerprint
-        expr(s"bit_xor(xxhash64($keyCol))").as("content_hash"))
+        expr(s"bit_xor(xxhash64($allCols))").as("content_hash"))
+  }
 
   def readManifest(spark: SparkSession, manifestDir: String): Option[DataFrame] =
     try {
@@ -85,8 +93,11 @@ object ManifestCheckpoint {
   /** Validate only pending partitions; write violations under
     * `outDir/violations/partition_value=<v>/` and append manifest entries.
     * Returns the partitions processed this run. Idempotent: re-running
-    * after completion is a no-op; re-running after a kill resumes where it
-    * stopped.
+    * after completion is a no-op; a run killed mid-way left no manifest
+    * entries for its batch, so the next run re-validates that batch's
+    * partitions (resume granularity = one batched run — the trade for
+    * constant job count; manifest entries from PREVIOUS completed runs
+    * still skip as before).
     *
     * Batched (round-1 verdict #5): ONE slice covers every pending
     * partition, ONE dynamic-partitioned write emits all violations, and
@@ -108,6 +119,14 @@ object ManifestCheckpoint {
     // can't silently mismatch the manifest entries they produced
     val slice = df.where(col(partCol).cast("string").isin(pending: _*))
     val run = RowValidator.validate(slice, spec)
+    // dynamic partition overwrite only replaces partitions that PRODUCE
+    // rows — a re-validated partition whose violations went to zero would
+    // keep its stale files. Clear every pending partition's dir first so
+    // the written state always matches the manifest entry.
+    pending.foreach { p =>
+      val d = new java.io.File(s"$outDir/violations/partition_value=$p")
+      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    }
     run.violations
       .withColumn("partition_value", col(partCol).cast("string"))
       .write.mode(SaveMode.Overwrite)
@@ -116,13 +135,16 @@ object ManifestCheckpoint {
       .parquet(s"$outDir/violations")
     val failed = filter(col(RowValidator.ViolationsCol), _.isNotNull)
     val now = System.currentTimeMillis()
+    // same whole-row hash as fingerprints() — over the ORIGINAL columns
+    // only (the annotation column must not enter the fingerprint)
+    val allCols = df.columns.map(c => s"`$c`").mkString(", ")
     val entries = run.annotated
       .groupBy(col(partCol).cast("string").as("partition_value"))
       .agg(
         count(lit(1)).as("total_rows"),
         coalesce(sum(when(size(failed) > 0, 1L).otherwise(0L)), lit(0L))
           .as("error_rows"),
-        expr(s"bit_xor(xxhash64($keyCol))").as("content_hash"))
+        expr(s"bit_xor(xxhash64($allCols))").as("content_hash"))
       .collect() // O(#pending partitions) rows — driver-safe by construction
       .map { r =>
         val total = r.getAs[Long]("total_rows")

@@ -60,7 +60,10 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a normalized fingerprint. Returns the kept rows
-    * (smallest id per duplicate group wins — deterministic).
+    * (smallest id per duplicate group wins — deterministic). `idCol` MUST
+    * be a unique row identifier (the usual dedup contract): with colliding
+    * ids, "keeper by id" is ill-defined and every row sharing a keeper's id
+    * is kept.
     *
     * Scale shape: keeper selection runs on a projected (fingerprint, id)
     * pair — the wide payload never enters that exchange — and the kept rows
@@ -106,9 +109,12 @@ object Dedup {
   /** Exact n-gram Jaccard scores between a (small) query set and the
     * corpus — the brute-force ground truth the LSH pipeline is verified
     * against, and the primitive for "score these candidate docs against
-    * everything". Queries are broadcast; the corpus is never shuffled.
-    * Quadratic in |queries|×|corpus|: use [[minhashNearDups]] for
-    * corpus-vs-corpus at scale. */
+    * everything". Every (query, corpus) pair except self-pairs is scored —
+    * including corpus ids smaller than the query id (a `id_a < id_b`
+    * dedup filter here would silently halve the scores). Queries are
+    * broadcast; the corpus is never shuffled. Quadratic in
+    * |queries|×|corpus|: use [[minhashNearDups]] for corpus-vs-corpus at
+    * scale. */
   def jaccardScores(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleLen: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("id_b"),
@@ -116,7 +122,7 @@ object Dedup {
     val q = broadcast(queries.select(col(idCol).as("id_a"),
       shingleSet(col(textCol), shingleLen).as("_sh_a")))
     c.crossJoin(q)
-      .where(col("id_a") < col("id_b"))
+      .where(col("id_a") =!= col("id_b"))
       .withColumn("jaccard", jaccard(col("_sh_a"), col("_sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -228,10 +234,14 @@ object Dedup {
     val chunks = maxHamming + 1
     require(bits % chunks == 0, s"maxHamming+1=$chunks must divide bits=$bits")
     val bitsPer = bits / chunks
+    // Java shifts are mod 64: (1L << 64) - 1 == 0, which would zero every
+    // chunk value at maxHamming=0/bits=64 and collapse all rows into one
+    // bucket (then the cap silently drops it)
+    val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val withSig = ensureParallelism(df)
       .select(col(idCol).as("_id"), simhashSig(col(textCol), bits, tokenHash).as("_sim"))
     val chunkVals = array((0 until chunks).map(k =>
-      shiftright(col("_sim"), k * bitsPer).bitwiseAND(lit((1L << bitsPer) - 1))): _*)
+      shiftright(col("_sim"), k * bitsPer).bitwiseAND(lit(chunkMask))): _*)
     val banded = withSig.select(col("_id"), col("_sim"), posexplode(chunkVals))
       .select(col("_id"), col("_sim"), col("pos").as("_chunk"), col("col").as("_cv"))
     val capped = capBuckets(banded, Seq("_chunk", "_cv"), maxBucketSize)

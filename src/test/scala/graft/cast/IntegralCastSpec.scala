@@ -65,6 +65,16 @@ class IntegralCastSpec extends AnyFunSuite {
     assert(castFails("int128", "1.5"))
     assert(castFails("uint32", ""))
   }
+  test("range guard also fires for NUMERIC sources feeding a hinted column") {
+    // regression: a non-string source used to fall through to the generic
+    // cast, bypassing the unsigned range promise entirely
+    val spec = TableSpec("t", Seq(CastPlanner.integralColumn("value", "uint8")))
+    val okDf = CastPlanner(Seq(300).toDF("value").selectExpr("CAST(value AS INT) AS value"), spec)
+    assertThrows[Exception] { okDf.collect() }
+    val fine = CastPlanner(Seq(200).toDF("value").selectExpr("CAST(value AS INT) AS value"), spec)
+    assert(fine.collect().map(_.get(0)).toSeq === Seq(200.toShort))
+  }
+
   test("whitespace is trimmed; nulls pass through (:352-380)") {
     assert(castOne("uint16", Seq(" 1 ", "  2", "3  ")) === Seq(1, 2, 3))
     val spec = TableSpec("t", Seq(CastPlanner.integralColumn("value", "uint16", nullable = true)))

@@ -76,6 +76,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("simhash maxHamming=0 (single 64-bit chunk) finds exact-duplicate pairs") {
+    // regression: (1L << 64) - 1 == 0 under Java's mod-64 shifts zeroed the
+    // chunk mask, collapsing every row into one bucket (which the cap then
+    // dropped, silently returning nothing)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("jaccardScores scores corpus ids below the query id too") {
+    // regression: an id_a < id_b pair-dedup filter silently dropped half
+    // the (query, corpus) score space
+    val scores = Dedup.jaccardScores(docs, docs.where($"doc_id" === 3),
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 is a near-dup of docs 1 and 2 (both BELOW the query id)
+    assert(scores.contains((3L, 1L)) && scores.contains((3L, 2L)))
+    assert(!scores.contains((3L, 3L))) // self-pair excluded
+  }
+
   test("candidate generation is bucket-local (no O(n^2) pairs on real data)") {
     val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val cands = Dedup.minhashCandidates(docs500, "doc_id", "text")

@@ -149,4 +149,23 @@ class ClipsPipelineSpec extends AnyFunSuite {
     assert(m.count() === 4)
     assert(m.columns.contains("content_hash") && m.columns.contains("error_rows"))
   }
+
+  test("re-validation that fixes all violations clears the stale violation files") {
+    val tmp = Files.createTempDirectory("graft-ckpt2").toString
+    val manifestDir = s"$tmp/manifest"
+    val outDir = s"$tmp/out"
+    // run 1: dirty data -> violations land for every codec
+    ManifestCheckpoint.runResumable(spark, dirty.toDF(), ClipsGenerator.spec,
+      manifestDir, outDir)
+    val dirtyViol = spark.read.parquet(s"$tmp/out/violations").count()
+    assert(dirtyViol > 0)
+    // run 2: same partitions, now CLEAN (content change -> all pending).
+    // Dynamic partition overwrite writes nothing for zero-violation
+    // partitions; the stale files must still disappear (regression).
+    ManifestCheckpoint.runResumable(spark, clean.toDF(), ClipsGenerator.spec,
+      manifestDir, outDir)
+    val after = try spark.read.parquet(s"$tmp/out/violations").count()
+    catch { case _: Exception => 0L } // all dirs cleared -> empty read
+    assert(after === 0L, s"stale violations survived a clean re-run: $after")
+  }
 }
