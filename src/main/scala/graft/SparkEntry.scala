@@ -188,6 +188,22 @@ object SparkEntry {
         planes = 4, tables = 16, multiProbeBits = 2)
     }),
 
+    // IVF (inverted-file) ANN: deterministic k-means coarse cells + probed
+    // exact search. On THIS corpus (near-random embeddings — coarse
+    // quantization's worst case: true neighbors at cos≈0.3 land in
+    // arbitrary cells) only nprobe=nCells is exact, so the driver query
+    // runs the degenerate full-probe setting to oracle the whole machinery
+    // (training → binning → probe ranking → scored top-k) against ground
+    // truth; the recall-vs-nprobe trade on partial probes is pinned by
+    // IvfSpec. Clustered real-world embeddings probe a small fraction.
+    "q32_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.vector.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nCells = 16, iters = 2)
+      graft.vector.Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", 5, cents, nprobe = 16)
+    }),
+
     // Embedding-cosine near-duplicate pairs (rows-only)
     "q18_embedding_neardups" -> ((s, dir) =>
       graft.dedup.Dedup.embeddingNearDups(tbl(s, dir, "embeddings"),
@@ -517,6 +533,23 @@ object SparkEntry {
     // the LSH path is tuned to full recall on this corpus (see the query
     // comment), so its ground truth is the same exact top-k scan
     "q17_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |   list_dot_product(q.v, c.v)
+        |     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+        | FROM e c, q WHERE c.vec_id <> q.vec_id)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+        |  CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+        |WHERE rn <= 5""".stripMargin,
+
+    // full-probe IVF equals exact top-k by construction; the oracle is the
+    // same ground-truth scan (training/binning/probing all had to be right
+    // for the result to match)
+    "q32_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
         |scored AS (

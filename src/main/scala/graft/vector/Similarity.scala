@@ -141,4 +141,101 @@ object Similarity {
       planes: Int = 12, seed: Long = 42L): DataFrame =
     corpus.select(hyperplaneBucket(col(vecCol), dim, planes, seed).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+
+  // --------------------------------------------------------------- IVF
+
+  /** Cosine similarity of a vector column against a literal centroid. */
+  private def cosToCentroid(v: Column, centroid: Seq[Double]): Column =
+    cosine(v, typedlit(centroid))
+
+  /** Index of the most-cosine-similar centroid (ties → lowest index) —
+    * codegen'd array ops, no UDF. */
+  def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(cosToCentroid(v, c).as("s"), lit(i).as("i"))
+    }: _*)
+    // max by (score, -index): negate index so ties pick the LOWEST index
+    val best = aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("s"), lit(0).as("ni")),
+      (acc, x) => {
+        val cand = struct(x.getField("s").as("s"), (-x.getField("i")).as("ni"))
+        when(cand > acc, cand).otherwise(acc)
+      })
+    -best.getField("ni")
+  }
+
+  /** Deterministic coarse-quantizer training: seeds are the `nCells` corpus
+    * vectors with the smallest xxhash64(id) (a deterministic "random"
+    * sample), refined with `iters` Lloyd iterations — each iteration is one
+    * distributed assignment + one (cell, dim)-grouped mean, O(nCells×dim)
+    * collected to the driver. The centroid table is tiny and broadcast
+    * everywhere it is used. */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 2): Seq[Seq[Double]] = {
+    val seeds = corpus
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(nCells)
+      .collect()
+      .map(_.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue).toSeq)
+      .toSeq
+    (1 to iters).foldLeft(seeds) { (cents, _) =>
+      val assigned = corpus
+        .select(col(vecCol).as("_v"))
+        .withColumn("_cell", nearestCell(col("_v"), cents))
+      val means = assigned
+        .select(col("_cell"), posexplode(col("_v")))
+        .groupBy(col("_cell"), col("pos"))
+        .agg(avg(col("col").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues(rows =>
+          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+      // empty cells keep their previous centroid
+      cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+  }
+
+  /** IVF (inverted-file) approximate top-k: corpus vectors are binned into
+    * `nCells` coarse cells (nearest trained centroid); each query probes
+    * only its `nprobe` most-similar cells and runs exact cosine top-k over
+    * those cells' members. The standard ANN scale path when embeddings
+    * cluster: corpus-side cost is one assignment projection + a hash join
+    * against the broadcast probe set — no corpus shuffle, candidates ≈
+    * nprobe/nCells of the corpus. nprobe = nCells degenerates to exact
+    * brute force (the correctness anchor IvfSpec pins). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+      nprobe: Int): DataFrame = {
+    val nCells = centroids.size
+    require(nprobe >= 1 && nprobe <= nCells, s"nprobe must be in [1, $nCells]")
+    val binned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .select(col("neighbor_id"), nearestCell(col("_cv"), centroids).as("_cell"))
+    // query probes: the nprobe most-similar cells (driver-free: sort the
+    // per-cell score array and slice — centroids are literals)
+    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-cosToCentroid(col("_qv"), c)).as("negs"), lit(i).as("i"))
+    }: _*)
+    val probeCells = transform(
+      slice(array_sort(cellScores), 1, nprobe), x => x.getField("i"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
+    val qProbes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .select(col("query_id"), explode(probeCells).as("_cell")))
+    val candIds = binned.join(qProbes, Seq("_cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .join(broadcast(candIds), Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("_rn").as("rank"))
+  }
 }
