@@ -194,8 +194,10 @@ object TableSpec {
 
   /** Case-class derivation (SURVEY §7.4 risk 4 / the pydantic-model
     * ergonomics): schema via Spark's own product encoder, so nullability
-    * follows Scala optionality (`Option[T]` ⇒ nullable, primitives ⇒
-    * required) exactly as `Dataset[T]` would see it. */
+    * follows the encoder exactly as `Dataset[T]` would see it — primitive
+    * fields required, `Option[T]` and all reference-typed fields (String,
+    * collections, nested models) nullable; tighten per-column afterwards
+    * where the data contract is stricter than the JVM type. */
   def fromCaseClass[T <: Product : scala.reflect.runtime.universe.TypeTag](
       name: String): TableSpec =
     fromStructType(name, org.apache.spark.sql.Encoders.product[T].schema)

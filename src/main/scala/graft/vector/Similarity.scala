@@ -144,18 +144,32 @@ object Similarity {
 
   // --------------------------------------------------------------- IVF
 
-  /** Cosine similarity of a vector column against a literal centroid. */
-  private def cosToCentroid(v: Column, centroid: Seq[Double]): Column =
-    cosine(v, typedlit(centroid))
+  /** Centroids normalized driver-side, as ONE array-of-arrays literal.
+    * Ranking by dot(v, ĉ) is order-equivalent to cosine for a fixed v
+    * (cosine = dot(v, ĉ)/‖v‖, ‖v‖ > 0 constant across cells), and the
+    * single literal keeps the compiled expression CONSTANT-SIZE in nCells —
+    * inlining one dot subtree per centroid made janino compile time scale
+    * with the cell count. */
+  private def unitCentroids(centroids: Seq[Seq[Double]]): Column =
+    typedlit(centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0) c else c.map(_ / n)
+    })
+
+  /** (dot(v, ĉ_i), i) structs for every centroid — one compiled dot
+    * subtree, evaluated per cell at runtime. */
+  private def cellDots(v: Column, centroids: Seq[Seq[Double]]): Column =
+    transform(unitCentroids(centroids), (c, i) =>
+      struct(
+        aggregate(zip_with(v, c, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, p) => acc + p).as("s"),
+        i.as("i")))
 
   /** Index of the most-cosine-similar centroid (ties → lowest index) —
     * codegen'd array ops, no UDF. */
   def nearestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(cosToCentroid(v, c).as("s"), lit(i).as("i"))
-    }: _*)
     // max by (score, -index): negate index so ties pick the LOWEST index
-    val best = aggregate(scored,
+    val best = aggregate(cellDots(v, centroids),
       struct(lit(Double.NegativeInfinity).as("s"), lit(0).as("ni")),
       (acc, x) => {
         val cand = struct(x.getField("s").as("s"), (-x.getField("i")).as("ni"))
@@ -213,10 +227,9 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .select(col("neighbor_id"), nearestCell(col("_cv"), centroids).as("_cell"))
     // query probes: the nprobe most-similar cells (driver-free: sort the
-    // per-cell score array and slice — centroids are literals)
-    val cellScores = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-cosToCentroid(col("_qv"), c)).as("negs"), lit(i).as("i"))
-    }: _*)
+    // per-cell score array and slice — centroids are one literal)
+    val cellScores = transform(cellDots(col("_qv"), centroids), x =>
+      struct((-x.getField("s")).as("negs"), x.getField("i").as("i")))
     val probeCells = transform(
       slice(array_sort(cellScores), 1, nprobe), x => x.getField("i"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")))

@@ -87,6 +87,35 @@ class AliasResolutionSpec extends AnyFunSuite {
     assert(byName("score").dataType === DoubleType)
     assert(byName("score").nullable)
   }
+
+  test("derivation optionality matrix: collections, maps, nested models (test_types_helper parity)") {
+    // the reference's is_optional_type matrix over containers and nesting
+    // (tests/core/test_types_helper.py), re-expressed for the encoder path
+    val d = TableSpec.fromCaseClass[DerivedRichFixture]("rich")
+    val byName = d.columns.map(c => c.name -> c).toMap
+    // encoder semantics: primitive fields are required; reference-typed
+    // fields (collections, strings, nested models) are nullable at the
+    // column level — element/value nullability is still tracked precisely
+    assert(byName("tags").dataType === ArrayType(IntegerType, containsNull = false))
+    assert(byName("maybeTags").dataType === ArrayType(StringType))
+    assert(byName("maybeTags").nullable) // Optional[list] -> nullable column
+    assert(byName("attrs").dataType ===
+      MapType(StringType, DoubleType, valueContainsNull = false))
+    // nested model -> inline StructType with its own per-field nullability
+    val nested = byName("addr").dataType.asInstanceOf[StructType]
+    assert(nested("street").dataType === StringType)
+    assert(nested("zip").dataType === IntegerType && nested("zip").nullable)
+    // optional nested model
+    assert(byName("backup").nullable)
+    assert(byName("backup").dataType.isInstanceOf[StructType])
+  }
 }
 
 case class DerivedFixture(id: Long, name: String, score: Option[Double])
+case class DerivedAddr(street: String, zip: Option[Int])
+case class DerivedRichFixture(
+    tags: Seq[Int],
+    maybeTags: Option[Seq[String]],
+    attrs: Map[String, Double],
+    addr: DerivedAddr,
+    backup: Option[DerivedAddr])
