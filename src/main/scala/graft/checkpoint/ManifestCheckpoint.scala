@@ -47,9 +47,18 @@ object ManifestCheckpoint {
     * change. Cost: the resume check reads the full partition once; on real
     * Iceberg this whole mechanism is replaced by snapshot/data-file ids
     * (metadata-only), the adapter seam this emulates. */
-  def fingerprints(df: DataFrame, partitionCol: String, keyCol: String): DataFrame = {
+  /** NULL partition values get their own manifest key: a raw NULL would
+    * fall out of the `isin(pending)` slice filter on every run — a slice
+    * the engine silently never validates, the exact failure the checkpoint
+    * exists to prevent. */
+  val NullPartitionKey = "__graft_null__"
+
+  private[checkpoint] def partitionKey(partitionCol: String) =
+    coalesce(col(partitionCol).cast("string"), lit(NullPartitionKey))
+
+  def fingerprints(df: DataFrame, partitionCol: String): DataFrame = {
     val allCols = df.columns.map(c => s"`$c`").mkString(", ")
-    df.groupBy(col(partitionCol).cast("string").as("partition_value"))
+    df.groupBy(partitionKey(partitionCol).as("partition_value"))
       .agg(count(lit(1)).as("content_rows"),
         // BIT_XOR aggregate of per-row hashes: associative+commutative, so
         // partition layout / task order can't change the fingerprint
@@ -74,8 +83,8 @@ object ManifestCheckpoint {
   /** Partition values that still need validation: no manifest entry, or
     * content fingerprint changed since the recorded run. */
   def pendingPartitions(spark: SparkSession, df: DataFrame,
-      partitionCol: String, keyCol: String, manifestDir: String): Seq[String] = {
-    val current = fingerprints(df, partitionCol, keyCol)
+      partitionCol: String, manifestDir: String): Seq[String] = {
+    val current = fingerprints(df, partitionCol)
     readManifest(spark, manifestDir) match {
       case None => current.select("partition_value").collect().map(_.getString(0)).toSeq
       case Some(m) =>
@@ -111,13 +120,12 @@ object ManifestCheckpoint {
     require(spec.partitionCols.size == 1 && spec.keyCols.size == 1,
       "resumable runs checkpoint on a single partition column + single key")
     val partCol = spec.partitionCols.head
-    val keyCol = spec.keyCols.head
-    val pending = pendingPartitions(spark, df, partCol, keyCol, manifestDir)
+    val pending = pendingPartitions(spark, df, partCol, manifestDir)
     if (pending.isEmpty) return pending
-    // filter on the STRINGIFIED partition value — the exact keying the
-    // fingerprint uses, so non-string partition columns (date, decimal)
-    // can't silently mismatch the manifest entries they produced
-    val slice = df.where(col(partCol).cast("string").isin(pending: _*))
+    // filter on the SAME key expression the fingerprint uses (stringified,
+    // NULL → sentinel), so non-string or NULL partition values can't
+    // silently mismatch the manifest entries they produced
+    val slice = df.where(partitionKey(partCol).isin(pending: _*))
     val run = RowValidator.validate(slice, spec)
     // dynamic partition overwrite only replaces partitions that PRODUCE
     // rows — a re-validated partition whose violations went to zero would
@@ -128,7 +136,7 @@ object ManifestCheckpoint {
       if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
     }
     run.violations
-      .withColumn("partition_value", col(partCol).cast("string"))
+      .withColumn("partition_value", partitionKey(partCol))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic") // only pending dirs replaced
       .partitionBy("partition_value")
@@ -139,7 +147,7 @@ object ManifestCheckpoint {
     // only (the annotation column must not enter the fingerprint)
     val allCols = df.columns.map(c => s"`$c`").mkString(", ")
     val entries = run.annotated
-      .groupBy(col(partCol).cast("string").as("partition_value"))
+      .groupBy(partitionKey(partCol).as("partition_value"))
       .agg(
         count(lit(1)).as("total_rows"),
         coalesce(sum(when(size(failed) > 0, 1L).otherwise(0L)), lit(0L))

@@ -18,8 +18,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *  - [[attach]] is a stateless per-row projection — no streaming state, so
   *    throughput is identical to the batch scan path (codegen'd) and any
   *    trigger interval works.
-  *  - [[start]] uses foreachBatch + the batch writer, giving exactly-once
-  *    sinks via the checkpoint dir; violations and clean rows are split
+  *  - [[start]] uses foreachBatch + batch_id-PARTITIONED dynamic-overwrite
+  *    sinks: foreachBatch is only at-least-once (a batch replayed after a
+  *    mid-batch crash runs again), so idempotence must come from the write —
+  *    a replayed batch overwrites exactly its own `batch_id=<n>` partition
+  *    instead of appending duplicates. Violations and clean rows are split
   *    WITHIN one micro-batch scan (the annotated frame is persisted per
   *    batch, so the source is read once per batch, not twice).
   *  - [[violationRateByWindow]] is a watermarked windowed aggregation —
@@ -31,8 +34,9 @@ object StreamingValidator {
   def attach(stream: DataFrame, spec: TableSpec): DataFrame =
     RowValidator.annotate(stream, spec)._1
 
-  /** Run the full split per micro-batch: violations → `outDir/violations`,
-    * clean rows → `outDir/clean` (parquet, append). */
+  /** Run the full split per micro-batch: violations → `outDir/violations/
+    * batch_id=<n>`, clean rows → `outDir/clean/batch_id=<n>` (parquet,
+    * batch-partitioned dynamic overwrite — replay-idempotent). */
   def start(stream: DataFrame, spec: TableSpec, outDir: String,
       checkpointDir: String): StreamingQuery = {
     stream.writeStream
@@ -40,14 +44,19 @@ object StreamingValidator {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val run = RowValidator.validate(batch, spec)
         val annotated = run.annotated.persist()
+        def idempotent(df: DataFrame, path: String): Unit =
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
         try {
-          run.copy(annotated = annotated).violations
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(s"$outDir/violations")
-          annotated.where(size(filter(col(RowValidator.ViolationsCol),
-            _.isNotNull)) === 0)
-            .drop(RowValidator.ViolationsCol)
-            .write.mode("append").parquet(s"$outDir/clean")
+          idempotent(run.copy(annotated = annotated).violations,
+            s"$outDir/violations")
+          idempotent(
+            annotated.where(size(filter(col(RowValidator.ViolationsCol),
+              _.isNotNull)) === 0).drop(RowValidator.ViolationsCol),
+            s"$outDir/clean")
         } finally { annotated.unpersist(); () }
       }
       .start()

@@ -25,13 +25,13 @@ object AudioInvariantCheck {
 
   val DefaultSnrThresholdDb = 30.0
 
-  /** (clip_id, codec, snr_db, snr_ok, transcript_ok) for the sampled subset.
-    * `catalog` provides reference transcripts (joined broadcast/SMJ by
-    * Catalyst+AQE based on size). */
-  def check(clips: DataFrame, catalog: DataFrame, sampleEvery: Int = 100,
-      snrThresholdDb: Double = DefaultSnrThresholdDb,
-      maxSynthMs: Int = 50): DataFrame = {
-    val snrUdf = udf { (clipId: String, bytes: Array[Byte], codec: String) =>
+  /** THE decode-and-measure UDF: decode the payload, re-synthesize the
+    * reference PCM from the clip's own id, return the SNR in dB (−∞ on any
+    * decode failure). Single definition shared by [[check]] and the fused
+    * [[ValidationSuite]] so the standalone check the oracle validates can
+    * never diverge from the suite's inlined copy. */
+  def snrUdf(maxSynthMs: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (clipId: String, bytes: Array[Byte], codec: String) =>
       try {
         val i = clipId.stripPrefix("clip-").toLong
         val (_, decoded) = AudioCodec.decode(bytes, codec)
@@ -39,12 +39,20 @@ object AudioInvariantCheck {
         WavCodec.snrDb(ref, decoded)
       } catch { case _: Exception => Double.NegativeInfinity }
     }
+
+  /** (clip_id, codec, snr_db, snr_ok, transcript_ok) for the sampled subset.
+    * `catalog` provides reference transcripts (joined broadcast/SMJ by
+    * Catalyst+AQE based on size). */
+  def check(clips: DataFrame, catalog: DataFrame, sampleEvery: Int = 100,
+      snrThresholdDb: Double = DefaultSnrThresholdDb,
+      maxSynthMs: Int = 50): DataFrame = {
     val sampled = clips
       .where(pmod(xxhash64(col("clip_id")), lit(sampleEvery)) === 0)
     sampled
       .join(catalog.withColumnRenamed("transcript", "ref_transcript"),
         Seq("clip_id"), "left_outer")
-      .withColumn("snr_db", snrUdf(col("clip_id"), col("bytes"), col("codec")))
+      .withColumn("snr_db",
+        snrUdf(maxSynthMs)(col("clip_id"), col("bytes"), col("codec")))
       .select(
         col("clip_id"), col("codec"),
         col("snr_db"),

@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * plugs into codegen'd aggregation natively. */
 class TDigestAgg(compression: Double) extends Aggregator[Double, TDigest, Array[Byte]] {
   def zero: TDigest = TDigest(compression)
-  def reduce(b: TDigest, a: Double): TDigest = { b.add(a); b }
+  // NaN is the null marker: a primitive-Double input encoder cannot see SQL
+  // NULLs (they would silently decode as 0.0 and shift the CDF mass), so
+  // call sites coalesce NULL -> NaN and the sketch skips it. Genuine NaN
+  // data is un-sketchable anyway (no place on the CDF).
+  def reduce(b: TDigest, a: Double): TDigest =
+    if (a.isNaN) b else { b.add(a); b }
   def merge(b1: TDigest, b2: TDigest): TDigest = b1.merge(b2)
   def finish(r: TDigest): Array[Byte] = r.toBytes
   def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
@@ -37,11 +42,16 @@ object DriftCheck {
   def digestUdaf(compression: Double = 100.0): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new TDigestAgg(compression), Encoders.scalaDouble)
 
+  /** NULL-safe input for the digest UDAF: NULL → NaN, which the sketch
+    * skips (see TDigestAgg.reduce). */
+  def digestInput(c: Column): Column = coalesce(c.cast("double"), lit(Double.NaN))
+
   /** (groupCols..., digest: binary) — one digest per group, one shuffle of
-    * pre-aggregated sketches (bytes, not rows). */
+    * pre-aggregated sketches (bytes, not rows). NULLs in the value column
+    * are skipped, matching every other operator's explicit null handling. */
   def digestPerGroup(df: DataFrame, valueCol: String, groupCols: Seq[String],
       compression: Double = 100.0): DataFrame = {
-    val agg = digestUdaf(compression)(col(valueCol).cast("double")).as("digest")
+    val agg = digestUdaf(compression)(digestInput(col(valueCol))).as("digest")
     if (groupCols.isEmpty) df.agg(agg)
     else df.groupBy(groupCols.map(col): _*).agg(agg)
   }
@@ -85,22 +95,26 @@ object DriftCheck {
     DriftReport(ks(reference, current), psi(reference, current, psiBins),
       ksThreshold, psiThreshold)
 
+  /** Shared digest-vs-reference evaluation UDF: (ks, psi, drifted) from a
+    * serialized digest column. One definition serves [[compareGroups]] and
+    * the fused [[ValidationSuite]] so their verdicts cannot diverge. */
+  def evalUdf(refBytes: Array[Byte], ksThreshold: Double,
+      psiThreshold: Double): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (digestBytes: Array[Byte]) =>
+      val cur = TDigest.fromBytes(digestBytes)
+      val ref = TDigest.fromBytes(refBytes)
+      val r = compare(ref, cur, ksThreshold, psiThreshold)
+      (r.ks, r.psi, r.drifted)
+    }
+
   /** Per-group drift vs a shared reference digest, fully distributed until
     * the final O(groups) rows: (groupCols..., ks, psi, drifted). */
   def compareGroups(df: DataFrame, valueCol: String, groupCols: Seq[String],
       reference: TDigest, ksThreshold: Double = 0.1, psiThreshold: Double = 0.2,
       compression: Double = 100.0): DataFrame = {
-    val refBytes = reference.toBytes
-    val ksT = ksThreshold
-    val psiT = psiThreshold
-    val evalUdf = udf { (digestBytes: Array[Byte]) =>
-      val cur = TDigest.fromBytes(digestBytes)
-      val ref = TDigest.fromBytes(refBytes)
-      val r = compare(ref, cur, ksT, psiT)
-      (r.ks, r.psi, r.drifted)
-    }
     digestPerGroup(df, valueCol, groupCols, compression)
-      .withColumn("_drift", evalUdf(col("digest")))
+      .withColumn("_drift",
+        evalUdf(reference.toBytes, ksThreshold, psiThreshold)(col("digest")))
       .select(groupCols.map(col) ++ Seq(
         col("_drift._1").as("ks"), col("_drift._2").as("psi"),
         col("_drift._3").as("drifted")): _*)

@@ -1,8 +1,5 @@
 package graft.validate
 
-import graft.audio.{AudioCodec, WavCodec}
-import graft.io.ClipsGenerator
-import graft.sketch.TDigest
 import graft.spec.TableSpec
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -66,21 +63,13 @@ object ValidationSuite {
 
     // ---- scan projection: violation array + sampled decode, then DROP bytes
     val (annotated0, checks, missing) = RowValidator.annotate(clips, spec)
-    val snrUdf = udf { (clipId: String, bytes: Array[Byte], codec: String) =>
-      try {
-        val i = clipId.stripPrefix("clip-").toLong
-        val (_, decoded) = AudioCodec.decode(bytes, codec)
-        val (_, ref) = WavCodec.decodePcm16(
-          ClipsGenerator.referenceBytes(i, cfg.maxSynthMs))
-        WavCodec.snrDb(ref, decoded)
-      } catch { case _: Exception => Double.NegativeInfinity }
-    }
+    val snr = AudioInvariantCheck.snrUdf(cfg.maxSynthMs) // shared definition
     val sampled = pmod(xxhash64(col(key)), lit(cfg.sampleEvery)) === 0
     val narrowCols: Seq[Column] =
       (key +: parts).distinct.map(col) ++ Seq(
         col(RowValidator.ViolationsCol),
-        col(cfg.driftCol).cast("double").as("_drift_val"),
-        when(sampled, snrUdf(col(key), col(cfg.payloadCol), col(cfg.codecCol)))
+        DriftCheck.digestInput(col(cfg.driftCol)).as("_drift_val"),
+        when(sampled, snr(col(key), col(cfg.payloadCol), col(cfg.codecCol)))
           .as("_snr_db"),
         col(cfg.transcriptCol).as("_transcript"))
     val narrow = annotated0.select(narrowCols: _*)
@@ -120,19 +109,13 @@ object ValidationSuite {
       if (parts.nonEmpty) joined.groupBy(parts.map(col): _*).agg(aggs.head, aggs.tail: _*)
       else joined.agg(aggs.head, aggs.tail: _*)
 
-    // ---- driver-side per-group drift verdict vs the reference digest
+    // ---- per-group drift verdict vs the reference digest (shared UDF)
     val finish = cfg.referenceDigest match {
       case None => grouped
       case Some(refBytes) =>
-        val ksT = cfg.ksThreshold
-        val psiT = cfg.psiThreshold
-        val evalUdf = udf { (digestBytes: Array[Byte]) =>
-          val cur = TDigest.fromBytes(digestBytes)
-          val ref = TDigest.fromBytes(refBytes)
-          val r = DriftCheck.compare(ref, cur, ksT, psiT)
-          (r.ks, r.psi, r.drifted)
-        }
-        grouped.withColumn("_d", evalUdf(col("drift_digest")))
+        grouped.withColumn("_d",
+          DriftCheck.evalUdf(refBytes, cfg.ksThreshold, cfg.psiThreshold)(
+            col("drift_digest")))
           .withColumn("ks", col("_d._1"))
           .withColumn("psi", col("_d._2"))
           .withColumn("drifted", col("_d._3"))

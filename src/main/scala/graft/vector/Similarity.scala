@@ -43,6 +43,18 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Shared tail of every top-k variant: per-query rank by (cosine desc,
+    * neighbor_id) — ONE definition so the tiebreak and output contract
+    * cannot drift between the brute-force baseline and the ANN paths. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("_rn").as("rank"))
+  }
+
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query set, cross-join against the corpus (one pass, no corpus shuffle),
     * per-query top-k via window. The baseline every ANN variant is verified
@@ -55,12 +67,7 @@ object Similarity {
       .crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("_rn").as("rank"))
+    topK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: standard multi-table LSH — `tables`
@@ -118,20 +125,16 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
-    // score pass: re-read corpus vectors (projection-pruned scan), hash-join
-    // against the (small: ≤ |Q|·tables·bucket) candidate set — no corpus
-    // shuffle at any point
+    // score pass: re-read corpus vectors (projection-pruned scan), join
+    // against the candidate set. No explicit broadcast hint: the candidate
+    // count scales with |Q|·tables·bucket and a forced broadcast is a
+    // driver-OOM cliff at scale — AQE picks broadcast when it actually fits.
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .join(broadcast(candIds), Seq("neighbor_id"))
+      .join(candIds, Seq("neighbor_id"))
       .join(q, Seq("query_id"))
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("_rn").as("rank"))
+    topK(scored, k)
   }
 
   /** IVF-style coarse quantization stats: assign each vector to its LSH
@@ -204,7 +207,12 @@ object Similarity {
         .collect()
         .groupBy(_.getInt(0))
         .view.mapValues(rows =>
-          rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq).toMap
+          // round away the floating-point reduction-order noise: avg() over
+          // a shuffle sums partials in task-completion order, so raw means
+          // differ in the last ulps run-to-run; 1e-9 rounding makes the
+          // centroids (and therefore cell assignment) reproducible
+          rows.sortBy(_.getInt(1))
+            .map(r => math.rint(r.getDouble(2) * 1e9) / 1e9).toSeq).toMap
       // empty cells keep their previous centroid
       cents.indices.map(i => means.getOrElse(i, cents(i)))
     }
@@ -239,16 +247,13 @@ object Similarity {
     val candIds = binned.join(qProbes, Seq("_cell"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
+    // no broadcast hint on candIds: |Q|·(nprobe/nCells)·|corpus| is
+    // unbounded — AQE broadcasts when it fits, SMJ otherwise
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .join(broadcast(candIds), Seq("neighbor_id"))
+      .join(candIds, Seq("neighbor_id"))
       .join(q, Seq("query_id"))
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cosine"), 6).as("cosine"), col("_rn").as("rank"))
+    topK(scored, k)
   }
 }
