@@ -117,7 +117,9 @@ object Dedup {
     * scale. */
   def jaccardScores(corpus: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, threshold: Double, shingleLen: Int = 3): DataFrame = {
-    val c = corpus.select(col(idCol).as("id_b"),
+    // rebalance first: a single-file corpus would otherwise evaluate every
+    // (query × corpus) set-intersection on ONE task
+    val c = ensureParallelism(corpus).select(col(idCol).as("id_b"),
       shingleSet(col(textCol), shingleLen).as("_sh_b"))
     val q = broadcast(queries.select(col(idCol).as("id_a"),
       shingleSet(col(textCol), shingleLen).as("_sh_a")))
