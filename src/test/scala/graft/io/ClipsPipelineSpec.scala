@@ -150,6 +150,26 @@ class ClipsPipelineSpec extends AnyFunSuite {
     assert(m.columns.contains("content_hash") && m.columns.contains("error_rows"))
   }
 
+  test("NULL partition values are validated under the sentinel key, not skipped") {
+    val tmp = Files.createTempDirectory("graft-ckpt-null").toString
+    // null out the partition column for a deterministic slice of rows
+    val withNulls = dirty.toDF().withColumn("codec",
+      when(col("sr_hz") === 22050, lit(null).cast("string")).otherwise(col("codec")))
+    val done = ManifestCheckpoint.runResumable(spark, withNulls,
+      ClipsGenerator.spec, s"$tmp/manifest", s"$tmp/out")
+    assert(done.contains(ManifestCheckpoint.NullPartitionKey),
+      s"null partition not pending: $done")
+    val m = ManifestCheckpoint.latestEntries(spark.read.parquet(s"$tmp/manifest"))
+    val nullEntry = m.where(col("partition_value") ===
+      ManifestCheckpoint.NullPartitionKey).collect()
+    assert(nullEntry.length === 1)
+    assert(nullEntry.head.getAs[Long]("total_rows") > 0)
+    // second run: nothing pending (the null slice was genuinely recorded)
+    val done2 = ManifestCheckpoint.runResumable(spark, withNulls,
+      ClipsGenerator.spec, s"$tmp/manifest", s"$tmp/out")
+    assert(done2.isEmpty)
+  }
+
   test("re-validation that fixes all violations clears the stale violation files") {
     val tmp = Files.createTempDirectory("graft-ckpt2").toString
     val manifestDir = s"$tmp/manifest"
