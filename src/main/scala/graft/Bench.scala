@@ -229,6 +229,22 @@ object Bench {
     val fullEff = eff(fullWallsLow, fullWalls, ratio, _.min)
     val fullEffMedian = eff(fullWallsLow, fullWalls, ratio, median)
     val subEff = eff(subWallsLow, subWalls, subHigh.toDouble / subLow, _.min)
+    // HEADLINE key = the undersubscribed pair: at full host subscription the
+    // high level absorbs all hypervisor steal (or, when a steal wave hits
+    // the LOW level instead, the ratio exceeds 1 — physically impossible
+    // and measured both ways on this host: 0.365 in r01, 1.453 in r02). The
+    // undersubscribed pair leaves headroom at both levels and is the honest
+    // predictor of N→4N executor scaling. The fully-subscribed number is
+    // still reported, but NULLED when its own samples show contamination
+    // (efficiency > 1.05 or a >2× spread within either level's walls).
+    def spread(xs: Seq[Double]): Double =
+      if (xs.exists(_.isNaN) || xs.min <= 0) Double.PositiveInfinity
+      else xs.max / xs.min
+    val fullEffClean =
+      if (fullEff.isNaN || fullEff > 1.05 ||
+          math.max(spread(fullWallsLow), spread(fullWalls)) > 2.0) Double.NaN
+      else fullEff
+    val headlineEff = if (!subEff.isNaN) subEff else fullEffClean
 
     def arr(xs: Seq[Double]): String = xs.map(num).mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s""""$k":${num(v)}""" }
@@ -251,7 +267,9 @@ object Bench {
       s""""undersub_cpus":[$subLow,$subHigh],"undersub_clips_n":$subN,""" +
       s""""undersub_walls":${arr(subWalls)},"undersub_walls_low":${arr(subWallsLow)},""" +
       s""""scaling_efficiency_undersub":${num(subEff)},""" +
-      s""""scaling_efficiency":${num(fullEff)}}"""
+      s""""scaling_efficiency_fullsub_raw":${num(fullEff)},""" +
+      s""""scaling_efficiency_fullsub":${num(fullEffClean)},""" +
+      s""""scaling_efficiency":${num(headlineEff)}}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/target/bench_last.json")
     try {

@@ -105,11 +105,31 @@ object CastPlanner {
         raise_error(concat(lit(s"str_to_$hint: value out of range: '"),
           c.cast(StringType), lit("'"))).cast(tgt))
       .otherwise(parsed.cast(tgt))
+    // fractional numeric sources get the same no-silent-rounding contract as
+    // strings: a Double 1.5 would otherwise cast to Decimal(38,0) as 2 and
+    // pass the range guard while the string "1.5" raises. The guard is
+    // `c % 1 != 0` in the SOURCE's own arithmetic (double mod for float/
+    // double — where any value ≥ 2^53 is integral by representation, and
+    // NaN/Inf yield NaN % 1 = NaN ≠ 0 → raise; exact decimal mod for
+    // decimals). Comparing c against its Decimal(38,0) image does NOT work:
+    // decimal comparison coercion caps precision at 38 by SACRIFICING scale,
+    // which rounds 1.50 to 2 inside the comparison and equates them.
+    val fractionalSrc = src match {
+      case FloatType | DoubleType => true
+      case d: DecimalType if d.scale > 0 => true
+      case _ => false
+    }
     if (isStr)
       when(c.isNull, lit(null).cast(tgt))
         .when(!t.rlike("^[+-]?[0-9]{1,38}$"),
           raise_error(concat(lit(s"str_to_$hint: invalid integer string: '"),
             c, lit("'"))).cast(tgt))
+        .otherwise(rangeChecked)
+    else if (fractionalSrc)
+      when(c.isNull, lit(null).cast(tgt))
+        .when((t % lit(1)) =!= lit(0),
+          raise_error(concat(lit(s"str_to_$hint: non-integral value: '"),
+            c.cast(StringType), lit("'"))).cast(tgt))
         .otherwise(rangeChecked)
     else
       when(c.isNull, lit(null).cast(tgt)).otherwise(rangeChecked)
@@ -157,7 +177,11 @@ object CastPlanner {
       srcByName.get(n) match {
         case None =>
           throw new IllegalArgumentException(s"Column $n not found in source schema")
-        case Some(srcType) if srcType == cSpec.dataType => None
+        // same-type skip (`polars/model.py:332-333`) — EXCEPT for hinted
+        // integral columns, whose storage type can match the source while
+        // the unsigned/128-bit RANGE promise still needs enforcing (a Long
+        // feeding a uint32 column must range-check, not pass through)
+        case Some(srcType) if srcType == cSpec.dataType && cSpec.castHint.isEmpty => None
         case Some(srcType) => Some(n -> castExpr(srcType, cSpec, n))
       }
     }.toMap

@@ -130,10 +130,21 @@ object ManifestCheckpoint {
     // dynamic partition overwrite only replaces partitions that PRODUCE
     // rows — a re-validated partition whose violations went to zero would
     // keep its stale files. Clear every pending partition's dir first so
-    // the written state always matches the manifest entry.
-    pending.foreach { p =>
-      val d = new java.io.File(s"$outDir/violations/partition_value=$p")
-      if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    // the written state always matches the manifest entry. Hadoop FileSystem
+    // (not java.io.File, which silently no-ops on HDFS/S3) resolved from the
+    // output path's own scheme, and the dir name built with the SAME
+    // escaping Spark's partitioned writer uses (getPartitionPathString:
+    // ':', '%', '#', ... are percent-escaped on disk — a raw string-concat
+    // path would miss those dirs).
+    locally {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val vioRoot = new org.apache.hadoop.fs.Path(s"$outDir/violations")
+      val fs = vioRoot.getFileSystem(spark.sessionState.newHadoopConf())
+      pending.foreach { p =>
+        val d = new org.apache.hadoop.fs.Path(vioRoot,
+          ExternalCatalogUtils.getPartitionPathString("partition_value", p))
+        if (fs.exists(d)) fs.delete(d, true)
+      }
     }
     run.violations
       .withColumn("partition_value", partitionKey(partCol))

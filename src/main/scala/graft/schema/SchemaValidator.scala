@@ -77,6 +77,8 @@ object SchemaValidator {
       case None => derived
     }
     val constraintFields: List[JField] = c.constraints.flatMap(_.jsonKey).collect {
+      case (k, v: BigDecimal) if v.isWhole => k -> JInt(v.toBigInt)
+      case (k, v: BigDecimal) => k -> JDecimal(v)
       case (k, v: Double) if v.isWhole => k -> JInt(BigInt(v.toLong))
       case (k, v: Double) => k -> JDouble(v)
       case (k, v: Int) => k -> JInt(v)

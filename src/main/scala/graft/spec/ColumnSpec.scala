@@ -47,6 +47,14 @@ final case class ColumnSpec(
       * 64, int128): selects the range-guarded strict cast in CastPlanner.
       * See [[graft.cast.CastPlanner.integralHints]]. */
     castHint: Option[String] = None,
+    /** Nested-model fields: the reference resolves aliases RECURSIVELY
+      * inside nested BaseModels (`polars/_types.py:56-104` applies
+      * alias_func to every nested field, any depth). When non-empty, this
+      * column's struct type is DERIVED from the child specs under the
+      * requested alias view, so `toStructField(Validation)` renames inner
+      * fields too. Supports struct columns and array-of-struct columns
+      * (list[BaseModel] → pl.List(pl.Struct), `_types.py:31-40`). */
+    children: Seq[ColumnSpec] = Nil,
 ) {
 
   /** Alias resolution: each view falls back to the field name — the collapse
@@ -69,8 +77,23 @@ final case class ColumnSpec(
   def rowConstraints: Seq[Constraint] =
     (if (!nullable) Seq(NotNull) else Nil) ++ constraints
 
+  /** Column type under an alias view: leaf columns keep `dataType`; nested-
+    * model columns rebuild the struct from [[children]] so per-field aliases
+    * apply recursively (parity with `_convert_basemodel_to_struct`,
+    * `polars/_types.py:56-104`). Child nullability/types come from the child
+    * specs themselves; an ArrayType wrapper (list-of-model) is preserved. */
+  def resolvedDataType(alias: AliasType): DataType =
+    if (children.isEmpty) dataType
+    else {
+      val inner = StructType(children.map(_.toStructField(alias)))
+      dataType match {
+        case ArrayType(_, containsNull) => ArrayType(inner, containsNull)
+        case _ => inner
+      }
+    }
+
   def toStructField(alias: AliasType = AliasType.Serialization): StructField =
-    StructField(nameFor(alias), dataType, nullable, metadata = metadataJson)
+    StructField(nameFor(alias), resolvedDataType(alias), nullable, metadata = metadataJson)
 
   /** Embed the reconstruction document in StructField metadata — parity with
     * `ColumnInfo.__get_pydantic_core_schema__` (`core/annotation.py:25-58`):

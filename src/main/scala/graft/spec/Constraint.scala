@@ -57,39 +57,56 @@ case object NotNull extends Constraint {
   def holds(c: Column): Column = c.isNotNull
 }
 
+/** Numeric bounds as a Catalyst literal preserving BOTH exactness and scan
+  * pushdown: an integral bound stays an integral literal (Long-vs-Long
+  * comparison is exact past 2^53, where the former Double bound silently
+  * rounded — `Minimum(9007199254740993L)` was unrepresentable), while a
+  * fractional bound becomes a double literal (a Decimal literal would make
+  * type coercion cast the COLUMN to decimal, which blocks the parquet
+  * PushedFilters that PlanShapeSpec pins). Callers still write plain
+  * numbers: `Minimum(0.05)` / `Minimum(8000)` via scala.math.BigDecimal's
+  * standard implicit widenings. */
+private[spec] object Bound {
+  def toLit(v: BigDecimal): Column =
+    if (v.isValidLong) lit(v.toLongExact) else lit(v.toDouble)
+}
+
 /** value >= v — JSON-schema `minimum` (`core/types.py:53`). */
-final case class Minimum(v: Double) extends NullPassing {
+final case class Minimum(v: BigDecimal) extends NullPassing {
   val id = "minimum"
-  protected def pred(c: Column): Column = c >= lit(v)
+  protected def pred(c: Column): Column = c >= Bound.toLit(v)
   override def jsonKey = Some("minimum" -> v)
 }
 
 /** value <= v — JSON-schema `maximum`. */
-final case class Maximum(v: Double) extends NullPassing {
+final case class Maximum(v: BigDecimal) extends NullPassing {
   val id = "maximum"
-  protected def pred(c: Column): Column = c <= lit(v)
+  protected def pred(c: Column): Column = c <= Bound.toLit(v)
   override def jsonKey = Some("maximum" -> v)
 }
 
 /** value > v — JSON-schema `exclusiveMinimum`. */
-final case class ExclusiveMinimum(v: Double) extends NullPassing {
+final case class ExclusiveMinimum(v: BigDecimal) extends NullPassing {
   val id = "exclusive_minimum"
-  protected def pred(c: Column): Column = c > lit(v)
+  protected def pred(c: Column): Column = c > Bound.toLit(v)
   override def jsonKey = Some("exclusiveMinimum" -> v)
 }
 
 /** value < v — JSON-schema `exclusiveMaximum`. */
-final case class ExclusiveMaximum(v: Double) extends NullPassing {
+final case class ExclusiveMaximum(v: BigDecimal) extends NullPassing {
   val id = "exclusive_maximum"
-  protected def pred(c: Column): Column = c < lit(v)
+  protected def pred(c: Column): Column = c < Bound.toLit(v)
   override def jsonKey = Some("exclusiveMaximum" -> v)
 }
 
-/** value % v == 0 — JSON-schema `multipleOf` (`core/types.py:66-71`). */
-final case class MultipleOf(v: Long) extends NullPassing {
+/** value % v == 0 — JSON-schema `multipleOf` (`core/types.py:66-71`, which
+  * divides arbitrary numerics: `5 % Decimal('2.5') == 0`). Integral divisors
+  * keep exact integer remainder; fractional divisors use double remainder —
+  * the same float-mod semantics Python applies (`1.3 % 0.5 != 0` in both). */
+final case class MultipleOf(v: BigDecimal) extends NullPassing {
   require(v != 0, "multipleOf divisor must be non-zero")
   val id = "multiple_of"
-  protected def pred(c: Column): Column = (c % lit(v)) === lit(0)
+  protected def pred(c: Column): Column = (c % Bound.toLit(v)) === lit(0)
   override def jsonKey = Some("multipleOf" -> v)
 }
 

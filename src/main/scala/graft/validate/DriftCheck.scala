@@ -107,6 +107,48 @@ object DriftCheck {
       (r.ks, r.psi, r.drifted)
     }
 
+  /** EXACT two-sample KS over fixed-width value bins — the two-pass exact
+    * alternative the t-digest sketch approximates, and the oracle anchor
+    * that pins the digest verdict (q34). The statistic is the KS of the
+    * BINNED distributions: sup over bin edges of |CDF_cur − CDF_ref|; with
+    * binWidth small vs the value range it equals unbinned KS to within one
+    * bin's mass. Scale shape: one counting groupBy per side (bins, not
+    * rows, enter the exchanges), then an O(groups × bins) grid — entirely
+    * distributed, exact integer counts, no transcendentals (engine-portable
+    * for the DuckDB oracle). NULLs are skipped, like the digest path.
+    * Returns (groupCols..., ks_exact). */
+  def exactKsPerGroup(reference: DataFrame, current: DataFrame,
+      valueCol: String, groupCols: Seq[String], binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def binned(df: DataFrame) = df.where(col(valueCol).isNotNull)
+      .withColumn("_bin",
+        floor(col(valueCol).cast("double") / binWidth).cast("long"))
+    val refHist = binned(reference).groupBy(col("_bin"))
+      .agg(count(lit(1)).as("_ref_n"))
+    val curHist = binned(current)
+      .groupBy(groupCols.map(col) :+ col("_bin"): _*)
+      .agg(count(lit(1)).as("_cur_n"))
+    // grid = every (group, bin) point so both step-function CDFs are
+    // evaluated at the union of edges (a missing bin still carries the
+    // running cumulative forward). groups × bins is small by construction.
+    val grid = curHist.select(groupCols.map(col): _*).distinct()
+      .crossJoin(refHist.select("_bin")
+        .union(curHist.select("_bin")).distinct())
+      .join(curHist, groupCols :+ "_bin", "left_outer")
+      .join(refHist, Seq("_bin"), "left_outer")
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    def cdf(cnt: Column): Column =
+      sum(coalesce(cnt, lit(0L))).over(wCum).cast("double") /
+        sum(coalesce(cnt, lit(0L))).over(wTot).cast("double")
+    grid
+      .withColumn("_diff", abs(cdf(col("_cur_n")) - cdf(col("_ref_n"))))
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(col("_diff")).as("ks_exact"))
+  }
+
   /** Per-group drift vs a shared reference digest, fully distributed until
     * the final O(groups) rows: (groupCols..., ks, psi, drifted). */
   def compareGroups(df: DataFrame, valueCol: String, groupCols: Seq[String],

@@ -2,6 +2,7 @@ package graft.cast
 
 import graft.TestSpark
 import graft.spec._
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -101,5 +102,41 @@ class IntegralCastSpec extends AnyFunSuite {
     val got = CastPlanner(Seq("1.5", "2.7", "3.14").toDF("value"), spec)
       .collect().map(_.getFloat(0))
     assert(got.zip(Seq(1.5f, 2.7f, 3.14f)).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+  }
+
+  // round-2 ADVICE: fractional NUMERIC sources keep the same no-silent-
+  // rounding contract as strings — a Double 1.5 feeding a hinted integral
+  // column must raise (it previously cast to Decimal(38,0) as 2 and passed)
+  private def hintedFromNumeric[T](hint: String, df: org.apache.spark.sql.DataFrame): Seq[Any] = {
+    val spec = TableSpec("t", Seq(CastPlanner.integralColumn("value", hint, nullable = true)))
+    CastPlanner(df, spec).collect().map(_.get(0)).toSeq
+  }
+  test("double source: integral values cast, fractional values raise") {
+    assert(hintedFromNumeric("uint8", Seq(2.0, 255.0).toDF("value")) ===
+      Seq(2.toShort, 255.toShort))
+    assertThrows[Exception] {
+      hintedFromNumeric("uint8", Seq(1.5).toDF("value"))
+    }
+  }
+  test("decimal source with scale: 2.00 casts, 1.50 raises") {
+    val dec = Seq("2.00", "1.00").toDF("value")
+      .select(col("value").cast(DecimalType(10, 2)).as("value"))
+    assert(hintedFromNumeric("uint16", dec).map(_.toString) === Seq("2", "1"))
+    val bad = Seq("1.50").toDF("value")
+      .select(col("value").cast(DecimalType(10, 2)).as("value"))
+    assertThrows[Exception] { hintedFromNumeric("uint16", bad) }
+  }
+  test("integral sources are untouched by the guard (long → uint32)") {
+    assert(hintedFromNumeric("uint32", Seq(7L, 4294967295L).toDF("value")) ===
+      Seq(7L, 4294967295L))
+    // out-of-range long still raises via the range guard
+    assertThrows[Exception] {
+      hintedFromNumeric("uint32", Seq(-1L).toDF("value"))
+    }
+  }
+  test("fractional-source null passes through untouched") {
+    val df = Seq(Some(2.0), None).toDF("value")
+    assert(hintedFromNumeric("uint8", df).map(Option(_)) ===
+      Seq(Some(2.toShort), None))
   }
 }

@@ -2,6 +2,7 @@ package graft.io
 
 import graft.TestSpark
 import graft.checkpoint.ManifestCheckpoint
+import graft.spec.{ColumnSpec, TableSpec}
 import graft.validate._
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -187,5 +188,39 @@ class ClipsPipelineSpec extends AnyFunSuite {
     val after = try spark.read.parquet(s"$tmp/out/violations").count()
     catch { case _: Exception => 0L } // all dirs cleared -> empty read
     assert(after === 0L, s"stale violations survived a clean re-run: $after")
+  }
+
+  test("stale cleanup works through the Hadoop FS API with escaped partition values") {
+    // round-2 ADVICE: the old java.io.File cleanup (a) no-oped on non-local
+    // filesystems and (b) missed partition values Spark's writer escapes
+    // (':', '%', '#'). Exercise both: a `file:` URI out dir + values that
+    // need escaping. One partition's violations go to zero on re-run — its
+    // escaped dir must be cleared.
+    val tmp = Files.createTempDirectory("graft-ckpt-esc").toString
+    val spec = TableSpec("t", Seq(
+      ColumnSpec("id", org.apache.spark.sql.types.LongType),
+      ColumnSpec("part", org.apache.spark.sql.types.StringType),
+      ColumnSpec("v", org.apache.spark.sql.types.LongType,
+        constraints = Seq(graft.spec.Minimum(0)))),
+      keyCols = Seq("id"), partitionCols = Seq("part"))
+    import spark.implicits._
+    val dirtyDf = Seq(
+      (1L, "a:b", -5L), (2L, "a:b", 1L), // ':' needs escaping, has violation
+      (3L, "c%d#e", -1L), (4L, "plain", 7L)).toDF("id", "part", "v")
+    val cleanDf = Seq(
+      (1L, "a:b", 5L), (2L, "a:b", 1L),
+      (3L, "c%d#e", 1L), (4L, "plain", 7L)).toDF("id", "part", "v")
+    val manifestDir = s"$tmp/manifest"
+    val outDir = s"file:$tmp/out" // explicit scheme → Hadoop FS resolution
+    ManifestCheckpoint.runResumable(spark, dirtyDf, spec, manifestDir, outDir)
+    assert(spark.read.parquet(s"$outDir/violations").count() === 2)
+    // the escaped dirs exist on disk (colon → %3A etc.)
+    val vioRoot = new java.io.File(s"$tmp/out/violations")
+    val dirsBefore = vioRoot.listFiles().map(_.getName).filter(_.startsWith("partition_value=")).sorted
+    assert(dirsBefore.exists(_.contains("%3A")), dirsBefore.mkString(","))
+    ManifestCheckpoint.runResumable(spark, cleanDf, spec, manifestDir, outDir)
+    val after = try spark.read.parquet(s"$outDir/violations").count()
+    catch { case _: Exception => 0L }
+    assert(after === 0L, s"stale escaped-partition violations survived: $after")
   }
 }

@@ -139,6 +139,56 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(jobs > 0 && jobs <= 8, s"expected constant job count, got $jobs")
   }
 
+  test("integral Long bound pushes down as a long filter (no lossy cast)") {
+    // BigDecimal bounds must not regress pushdown: an integral bound stays
+    // an integral literal, so the comparison reaches the scan unchanged
+    val df = spark.read.parquet(clipsPath)
+      .where(!Minimum(8000).holds(col("sr_hz")))
+      .select("clip_id", "sr_hz")
+    val pushed = planString(df).linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("LessThan(sr_hz,8000)"), pushed)
+  }
+
+  test("codec predicate prunes partitions on the emulated-Iceberg scan") {
+    // SURVEY §4.2 claims partition pruning on the codec-partitioned layout;
+    // pin it by reading the scan's PartitionFilters (a pruned scan carries
+    // the codec predicate there, NOT in PushedFilters/data filters)
+    val df = spark.read.parquet(clipsPath).where(col("codec") === "flac")
+      .select("clip_id", "sr_hz")
+    val scanLines = planString(df).linesIterator
+      .filter(_.contains("PartitionFilters")).mkString("\n")
+    assert(scanLines.contains("codec"), s"no partition filter:\n$scanLines")
+    assert(scanLines.contains("= flac"), scanLines)
+    // and the partition count actually shrinks: 1 of 4 codec dirs selected
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scan.nonEmpty, "no FileSourceScanExec found")
+    assert(scan.get.selectedPartitions.partitionCount === 1,
+      s"expected 1 selected partition, got ${scan.get.selectedPartitions.partitionCount}")
+  }
+
+  test("capBuckets adds no exchange beyond the uncapped self-join plan") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"document number $i about spark exchanges and windows")).toDF("doc_id", "text")
+    def exchanges(maxBucket: Int): Int = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try Dedup.minhashCandidates(docs, "doc_id", "text", maxBucketSize = maxBucket)
+        .queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }.length
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val capped = exchanges(50)
+    val uncapped = exchanges(Int.MaxValue)
+    // the window's partitionBy(bucketCols) exchange+sort is exactly what the
+    // sort-merge self-join needs, so Catalyst reuses it (Dedup.capBuckets doc)
+    assert(capped === uncapped,
+      s"cap added exchanges: capped=$capped uncapped=$uncapped")
+  }
+
   test("oversizedBuckets reports dropped buckets for monitoring") {
     import spark.implicits._
     val df = Seq.fill(30)("k").zipWithIndex.map(_.swap).toDF("id", "k")

@@ -1,0 +1,76 @@
+package graft.spec
+
+import graft.TestSpark
+import graft.validate.RowValidator
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 verdict fixes #6/#10: numeric bounds as BigDecimal —
+  * (a) non-integer `multipleOf` divisors match `core/types.py:66-71`
+  * semantics (arbitrary numerics divide), (b) integral bounds stay EXACT
+  * past 2^53, where the former Double representation silently rounded. */
+class ConstraintBoundsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def violators(df: org.apache.spark.sql.DataFrame, c: Constraint,
+      colName: String = "v"): Seq[Any] =
+    df.where(!c.holds(col(colName))).collect().map(_.get(0)).toSeq
+
+  test("fractional multipleOf divisors (0.5, 0.25) — float-mod semantics") {
+    val df = Seq(1.0, 1.25, 1.3, 2.5, 0.75).toDF("v")
+    // 0.5 divides 1.0 and 2.5; 1.25/1.3/0.75 violate
+    assert(violators(df, MultipleOf(0.5)) === Seq(1.25, 1.3, 0.75))
+    // 0.25 divides everything here except 1.3 (1.3 % 0.25 != 0 in doubles,
+    // exactly as in Python: Decimal/float mod, core/types.py:66-71)
+    assert(violators(df, MultipleOf(0.25)) === Seq(1.3))
+  }
+
+  test("integral multipleOf keeps exact integer remainder on longs") {
+    val big = 3000000000000000000L // > 2^53 * 256: double math would alias
+    val df = Seq(big, big + 1).toDF("v")
+    assert(violators(df, MultipleOf(2)) === Seq(big + 1))
+  }
+
+  test("Minimum bound >2^53 distinguishes adjacent longs (was Double-lossy)") {
+    val b = 9007199254740993L // 2^53 + 1: not representable as Double
+    val df = Seq(b - 1, b, b + 1).toDF("v")
+    // with a Double bound, 2^53 and 2^53+1 collapse to the same literal and
+    // b-1 would (wrongly) pass; the Long literal keeps the exact cut
+    assert(violators(df, Minimum(b)) === Seq(b - 1))
+    assert(violators(df, ExclusiveMinimum(b)) === Seq(b - 1, b))
+  }
+
+  test("Maximum at Long.MaxValue-adjacent values stays exact") {
+    val m = Long.MaxValue
+    val df = Seq(m, m - 1, m - 2).toDF("v")
+    assert(violators(df, Maximum(m - 1)).toSet === Set(m))
+    assert(violators(df, ExclusiveMaximum(m - 1)).toSet === Set(m, m - 1))
+  }
+
+  test("double columns keep the old behavior with fractional bounds") {
+    val df = Seq(0.04, 0.05, 0.06).toDF("v")
+    assert(violators(df, Maximum(0.05)) === Seq(0.06))
+    assert(violators(df, Minimum(0.05)) === Seq(0.04))
+  }
+
+  test("BigDecimal bounds surface in the JSON-schema lattice") {
+    import graft.schema.SchemaValidator
+    import org.json4s._
+    val c = ColumnSpec("v", DoubleType,
+      constraints = Seq(Minimum(0.5), Maximum(10), MultipleOf(0.25)))
+    val js = SchemaValidator.columnToJsonSchema(c)
+    assert(js \ "minimum" === JDecimal(BigDecimal("0.5")))
+    assert(js \ "maximum" === JInt(10)) // whole values render as integers
+    assert(js \ "multipleOf" === JDecimal(BigDecimal("0.25")))
+  }
+
+  test("full-suite integration: fractional multipleOf in RowValidator") {
+    val spec = TableSpec("t", Seq(
+      ColumnSpec("v", DoubleType, constraints = Seq(MultipleOf(0.5)))))
+    val run = RowValidator.validate(Seq(1.0, 1.3).toDF("v"), spec)
+    val ids = run.violations.collect().map(_.getAs[String]("constraint_id"))
+    assert(ids === Array("multiple_of"))
+  }
+}

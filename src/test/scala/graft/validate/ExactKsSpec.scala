@@ -1,0 +1,60 @@
+package graft.validate
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact binned-KS drift (the oracle-portable twin of the t-digest path,
+  * round-2 verdict #2): hand-checkable distributions pin the statistic's
+  * definition — sup over bin edges of |CDF_cur − CDF_ref| on the binned
+  * step functions. */
+class ExactKsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("identical distributions → ks_exact = 0 for every group") {
+    val df = (1 to 100).flatMap(i => Seq(("a", i.toDouble), ("b", i.toDouble)))
+      .toDF("g", "v")
+    val ks = DriftCheck.exactKsPerGroup(df, df, "v", Seq("g"), binWidth = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ks.keySet === Set("a", "b"))
+    assert(ks.values.forall(_ === 0.0), ks.toString)
+  }
+
+  test("disjoint supports → ks_exact = 1") {
+    val ref = (1 to 50).map(_.toDouble).toDF("v").withColumn("g", lit("x"))
+    val cur = (1001 to 1050).map(_.toDouble).toDF("v").withColumn("g", lit("x"))
+    val ks = DriftCheck.exactKsPerGroup(ref, cur, "v", Seq("g"), 10)
+      .collect().head.getDouble(1)
+    assert(ks === 1.0)
+  }
+
+  test("hand-computed half-shift: uniform[0,100) vs uniform[50,150) → ks = 0.5") {
+    val ref = (0 until 100).map(_.toDouble).toDF("v").withColumn("g", lit("x"))
+    val cur = (50 until 150).map(_.toDouble).toDF("v").withColumn("g", lit("x"))
+    val ks = DriftCheck.exactKsPerGroup(ref, cur, "v", Seq("g"), 10)
+      .collect().head.getDouble(1)
+    // at edge 50: CDF_ref = 0.5, CDF_cur = 0.0 → sup = 0.5 exactly
+    assert(ks === 0.5, s"ks=$ks")
+  }
+
+  test("NULLs are skipped, matching the digest path") {
+    val ref = Seq(Some(1.0), Some(2.0), None).toDF("v").withColumn("g", lit("x"))
+    val ks = DriftCheck.exactKsPerGroup(ref, ref, "v", Seq("g"), 1)
+      .collect().head.getDouble(1)
+    assert(ks === 0.0)
+  }
+
+  test("per-group isolation: only the drifted group trips") {
+    val ref = (1 to 200).map(i => (if (i % 2 == 0) "even" else "odd", i.toDouble))
+      .toDF("g", "v")
+    val cur = ref.withColumn("v",
+      when(col("g") === "even", col("v") + 1000).otherwise(col("v")))
+    val ks = DriftCheck.exactKsPerGroup(ref, cur, "v", Seq("g"), 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ks("even") === 1.0)
+    // odd group unchanged vs the FULL reference: distribution equal up to
+    // interleaving → small but nonzero binned diff is acceptable, not drift
+    assert(ks("odd") < 0.05, ks.toString)
+  }
+}

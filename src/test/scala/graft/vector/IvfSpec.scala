@@ -52,4 +52,57 @@ class IvfSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
     assert(probed.size === exact.size) // still k results per query
   }
+
+  // ---- round-2 verdict #4: training runs on a hash-selected sample ----
+
+  test("training sample is ~sampleSize and layout-independent") {
+    val s1 = Similarity.trainingSample(emb, "vec_id", "embedding", 50)
+    val ids1 = s1.select("_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Similarity.trainingSample(emb.repartition(7), "vec_id",
+      "embedding", 50).select("_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2, "sample must be a pure function of the id")
+    // xxhash64 % K selection: expected n/K = 50 of 500, binomial sd ≈ 6.7
+    assert(ids1.size > 20 && ids1.size < 100, s"sample size ${ids1.size}")
+  }
+
+  test("sampled training is deterministic across corpus partitionings") {
+    val a = Similarity.trainCentroids(emb, "vec_id", "embedding", 4, 2,
+      sampleSize = 50)
+    val b = Similarity.trainCentroids(emb.repartition(11), "vec_id",
+      "embedding", 4, 2, sampleSize = 50)
+    assert(a === b)
+    assert(a.size === 4 && a.forall(_.size === 64))
+  }
+
+  test("Lloyd iterations scan the SAMPLE, not the corpus (input-metrics pin)") {
+    // task-level recordsRead across every job fired by trainCentroids: the
+    // ids-only count + sample materialization read the corpus once each
+    // (2 × 500); the seeds pass + each of 4 Lloyd iterations read only the
+    // ~50-row persisted sample. The pre-fix code re-scanned the corpus per
+    // iteration (≥ 500 × 5 = 2500 in this setup).
+    val read = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Similarity.trainCentroids(emb, "vec_id", "embedding", 4, iters = 4,
+        sampleSize = 50)
+      Thread.sleep(500) // listener bus is asynchronous
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val total = read.get()
+    assert(total > 0, "listener saw no input metrics")
+    assert(total < 2000,
+      s"training read $total records — Lloyd iterations are scanning the corpus")
+  }
+
+  test("full-probe IVF with sample-trained centroids still equals brute force") {
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8, 2,
+      sampleSize = 50)
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      cents, nprobe = 8))
+    assert(ivf === exact)
+  }
 }
