@@ -276,13 +276,14 @@ object Dedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     import graft.vector.Similarity
     // exploded rows carry (table, bucket, id) only; vectors re-join after
-    // the ids-only candidate dedup (same shape as Similarity.lshTopK)
+    // the ids-only candidate dedup (same shape as Similarity.lshTopK).
+    // Buckets come from the native codegen expression — all tables in one
+    // per-row loop (Similarity.tableBuckets).
     val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
-    val bucketsPerTable = array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        Similarity.hyperplaneBucket(col("_v"), dim, planes, seed + t * 7919L)
-          .as("b"))): _*)
-    val banded = base.select(col("_id"), explode(bucketsPerTable).as("_tb"))
+    val banded = base
+      .select(col("_id"),
+        posexplode(Similarity.tableBuckets(col("_v"), dim, planes, tables, seed)))
+      .select(col("_id"), struct(col("pos").as("t"), col("col").as("b")).as("_tb"))
     val capped = capBuckets(banded, Seq("_tb"), maxBucketSize)
     val a = capped.select(col("_tb"), col("_id").as("id_a"))
     val b = capped.select(col("_tb"), col("_id").as("id_b"))

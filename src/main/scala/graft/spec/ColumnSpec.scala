@@ -110,6 +110,23 @@ final case class ColumnSpec(
 
 object ColumnSpec {
 
+  /** Annotation-convenience defaults (`polars/_types.py:144-162`): a bare
+    * `Decimal` annotation becomes `pl.Decimal(10, 2)` in the reference. */
+  val DecimalDefault: DecimalType = DecimalType(10, 2)
+
+  /** Bare-`Decimal` column with the reference's default precision/scale. */
+  def decimalColumn(name: String, nullable: Boolean = false): ColumnSpec =
+    ColumnSpec(name, DecimalDefault, nullable)
+
+  /** `Categorical` analog (`_types.py:146-147`): Spark has no dictionary
+    * TYPE (Parquet dictionary-encodes strings at the storage layer), so a
+    * categorical column is StringType plus an optional declared vocabulary
+    * enforced as a data constraint — the documented deviation. */
+  def categoricalColumn(name: String, vocabulary: Seq[String] = Nil,
+      nullable: Boolean = false): ColumnSpec =
+    ColumnSpec(name, StringType, nullable,
+      constraints = if (vocabulary.nonEmpty) Seq(InSet(vocabulary)) else Nil)
+
   /** AliasChoices flattening (`get_validation_alias`,
     * `core/pydantic/field_info.py:28-47`): drop the serialization alias from
     * the candidates; none left ⇒ the serialization alias itself; exactly one

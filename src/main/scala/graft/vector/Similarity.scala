@@ -33,14 +33,44 @@ object Similarity {
     }
 
   /** LSH bucket id: the `planes`-bit sign pattern of v·h_p. Cosine-similar
-    * vectors land in the same bucket with probability (1 − θ/π)^planes. */
+    * vectors land in the same bucket with probability (1 − θ/π)^planes.
+    *
+    * Single-traversal form: ONE aggregate whose accumulator is the
+    * per-plane running-projection vector, with the (dim × planes)
+    * hyperplane matrix as one literal — the naive form (one dot-product
+    * tree per plane) hands janino `planes` copies of a 64-element
+    * fold per table, and compile time dominated q33's 16-table run
+    * (~9 s at 520 rows). Element order per plane is unchanged, so the
+    * projections — and therefore every bucket id — are bit-identical to
+    * the per-plane fold. */
   def hyperplaneBucket(v: Column, dim: Int, planes: Int = 12, seed: Long = 42L): Column = {
     val hs = hyperplanes(dim, planes, seed)
-    val bits = hs.zipWithIndex.map { case (h, p) =>
-      val proj = dot(v, typedlit(h.toSeq))
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // transpose: element i of the vector selects its per-plane sign row
+    val byDim: Seq[Seq[Double]] = (0 until dim).map(i => hs.map(_(i)).toSeq)
+    val hMatrix = typedlit(byDim)
+    val indexed = zip_with(v, sequence(lit(1), lit(dim)),
+      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
+    val projs = aggregate(
+      indexed,
+      array_repeat(lit(0.0), planes),
+      (acc, e) => zip_with(acc, element_at(hMatrix, e.getField("i")),
+        (a, hh) => a + e.getField("x") * hh))
+    val masks = typedlit((0 until planes).map(p => 1L << p))
+    aggregate(
+      zip_with(projs, masks, (s, m) => when(s >= 0, m).otherwise(0L)),
+      lit(0L), (a, b) => a.bitwiseOR(b))
+  }
+
+  /** All `tables` bucket ids as ONE `array<long>` via the native codegen
+    * expression [[HyperplaneBuckets]] — the hot-path form of
+    * [[hyperplaneBucket]] (same per-table seeds `seed + t*7919L`,
+    * bit-identical ids — pinned by SimilaritySpec). Use with `posexplode`:
+    * `pos` = table index, `col` = bucket id. */
+  def tableBuckets(v: Column, dim: Int, planes: Int, tables: Int,
+      seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      HyperplaneBuckets(ColumnBridge.expression(v), dim, planes, tables, seed))
   }
 
   /** Shared tail of every top-k variant: per-query rank by (cosine desc,
@@ -87,27 +117,24 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, dim: Int, planes: Int = 6, tables: Int = 8,
       multiProbeBits: Int = 1, seed: Long = 42L): DataFrame = {
-    def tableSeed(t: Int): Long = seed + t * 7919L
-    // corpus: one (table, bucket) entry per table — the exploded rows carry
-    // ONLY (neighbor_id, bucket); the vector is consumed by the bucket
-    // expressions inside the scan projection and never duplicated ×tables
-    val corpusBuckets = array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        hyperplaneBucket(col("_cv"), dim, planes, tableSeed(t)).as("b"))): _*)
+    // corpus: one (table, bucket) entry per table via the native codegen
+    // expression (ALL tables in one tight loop — the composed HOF form ran
+    // through interpreted lambdas); the exploded rows carry ONLY
+    // (neighbor_id, bucket), the vector is consumed inside the scan
+    // projection and never duplicated ×tables
     val bucketed = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
-      .select(col("neighbor_id"), explode(corpusBuckets).as("_tb"))
+      .select(col("neighbor_id"),
+        posexplode(tableBuckets(col("_cv"), dim, planes, tables, seed)))
+      .select(col("neighbor_id"),
+        struct(col("pos").as("t"), col("col").as("b")).as("_tb"))
     // query probes: per table, every bucket within Hamming ≤ multiProbeBits
     // of the query's own bucket (standard multi-probe LSH — buys recall
     // without more tables; probe count = Σ C(planes, h), query-side only).
-    // Two-stage expansion: materialize each table's own bucket FIRST (one
-    // hyperplane evaluation per table), then derive the probe variants by
-    // bit-xor on the materialized column — inlining the bucket expression
-    // into every probe would hand codegen Σ C(planes,h) copies of the
-    // dot-product tree per table (measured: seconds of janino compile).
-    val ownBuckets = array((0 until tables).map(t =>
-      struct(lit(t).as("t"),
-        hyperplaneBucket(col("_qv"), dim, planes, tableSeed(t)).as("b"))): _*)
+    // Two-stage expansion: materialize each table's own bucket FIRST, then
+    // derive the probe variants by bit-xor on the materialized column —
+    // inlining the bucket expression into every probe would evaluate it
+    // Σ C(planes,h) times per table.
     val flips: Seq[Long] = (0 to math.max(0, multiProbeBits)).flatMap(h =>
       (0 until planes).combinations(h).map(_.foldLeft(0L)((m, p) => m | (1L << p))))
     val probeVariants = array(flips.map(m =>
@@ -116,7 +143,10 @@ object Similarity {
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv")))
     val qProbes = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
-      .select(col("query_id"), explode(ownBuckets).as("_own"))
+      .select(col("query_id"),
+        posexplode(tableBuckets(col("_qv"), dim, planes, tables, seed)))
+      .select(col("query_id"),
+        struct(col("pos").as("t"), col("col").as("b")).as("_own"))
       .select(col("query_id"), explode(probeVariants).as("_tb")))
     // candidate id pairs, deduped on IDS ONLY (a pair may collide in
     // several tables) — the round-1 plan shuffled both 64-dim vectors

@@ -65,4 +65,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.flatten.toSeq === b.flatten.toSeq)
     assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
   }
+
+  test("native HyperplaneBuckets is bit-identical to the composed column form") {
+    // the codegen expression must reproduce the HOF buckets EXACTLY (same
+    // seeds seed + t*7919, same ascending-element double accumulation) —
+    // the LSH capture-margin analysis (q33) is done against the column form
+    val tables = 16; val planes = 8; val seed = 42L
+    val native = emb.select($"vec_id",
+      Similarity.tableBuckets($"embedding", dim, planes, tables, seed).as("bs"))
+    val composed = emb.select($"vec_id", array((0 until tables).map(t =>
+      Similarity.hyperplaneBucket($"embedding", dim, planes, seed + t * 7919L)): _*)
+      .as("bs"))
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val c = composed.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(n.keySet === c.keySet)
+    assert(n.forall { case (k, v) => c(k) == v },
+      n.collect { case (k, v) if c(k) != v => s"$k: $v vs ${c(k)}" }.take(3))
+  }
+
+  test("native buckets: interpreted eval agrees with the codegen path") {
+    val tables = 4; val planes = 6
+    val viaCodegen = emb.select(
+      Similarity.tableBuckets($"embedding", dim, planes, tables).as("bs"))
+      .collect().map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaEval = emb.select(
+        Similarity.tableBuckets($"embedding", dim, planes, tables).as("bs"))
+        .collect().map(_.getSeq[Long](0))
+      assert(viaCodegen.toSeq === viaEval.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("native buckets reject short vectors instead of silently truncating") {
+    val df = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    assertThrows[Exception] {
+      df.select(Similarity.tableBuckets(col("v"), dim = 8, planes = 4,
+        tables = 2)).collect()
+    }
+  }
 }
