@@ -87,14 +87,23 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word n-gram shingles (multiset — duplicates kept; min-hashing is
-    * invariant to them and `array_distinct` is O(n²) per row). Use
-    * [[shingleSet]] where true set semantics matter (exact Jaccard). */
-  def shingles(c: Column, n: Int): Column = {
+  /** Composed-column shingling — parity baseline for the native
+    * [[WordShingles]] expression (DedupSpec pins equality). */
+  private[dedup] def shinglesColumnForm(c: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(c)
     when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Word n-gram shingles (multiset — duplicates kept; min-hashing is
+    * invariant to them and `array_distinct` is O(n²) per row). Use
+    * [[shingleSet]] where true set semantics matter (exact Jaccard).
+    * Native codegen expression over the tokenized column. */
+  def shingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(TextAnalysis.tokens(c)), n))
   }
 
   def shingleSet(c: Column, n: Int): Column = array_distinct(shingles(c, n))
@@ -132,15 +141,15 @@ object Dedup {
 
   // ------------------------------------------------------------- minhash
 
-  /** MinHash signature: `numHashes` minima of per-seed shingle hashes,
-    * computed in a SINGLE traversal of the shingle array — an `aggregate`
-    * whose accumulator is the running-min vector, with xxhash64(seed, s) as
-    * the seed-indexed hash family. (The naive form — one `array_min(
+  /** Composed-column MinHash signature: single-traversal `aggregate` whose
+    * accumulator is the running-min vector, with xxhash64(seed, s) as the
+    * seed-indexed hash family. (The naive form — one `array_min(
     * transform(...))` per seed — duplicates the shingle-array expression
     * `numHashes` times in the projection; Catalyst does not CSE across
     * higher-order-function lambdas, which measured 246 s vs ~4 s on 5k
-    * docs.) Pure array ops → codegen'd, no UDF, no shuffle. */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
+    * docs.) Kept as the parity baseline for the native expression —
+    * DedupSpec pins bit-equality. */
+  private[dedup] def minhashSignatureColumnForm(shinglesCol: Column, numHashes: Int): Column =
     aggregate(
       shinglesCol,
       array_repeat(lit(Long.MaxValue), numHashes),
@@ -148,6 +157,16 @@ object Dedup {
         acc,
         transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(i, s)),
         (a, b) => least(a, b)))
+
+  /** MinHash signature via the native codegen expression
+    * [[MinHashSignature]] — same xxhash64(k, shingle) family, bit-identical
+    * signatures, primitive inner loop (the compute-dense stage of
+    * corpus-scale dedup). */
+  def minhashSignature(shinglesCol: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(shinglesCol), numHashes))
+  }
 
   /** LSH candidate pairs: signatures banded into `bands`; docs sharing any
     * band hash become candidates. Returns (id_a, id_b) with id_a < id_b,

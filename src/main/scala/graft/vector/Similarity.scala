@@ -17,9 +17,19 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
+  /** Composed-column cosine — kept as the parity baseline for the native
+    * [[CosineSim]] expression (SimilaritySpec pins bit-equality). */
+  private[vector] def cosineColumnForm(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, 0.0).otherwise(dot(a, b) / d)
+  }
+
+  /** Cosine similarity via the native codegen expression [[CosineSim]] —
+    * one fused pass over both vectors, bit-identical to the composed form. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Deterministic ±1 hyperplanes (splitmix-style hash of (seed, plane,

@@ -104,4 +104,75 @@ class DedupSpec extends AnyFunSuite {
     // 500 docs → 124,750 possible pairs; LSH must prune hard
     assert(nPairs < 20000, s"candidate explosion: $nPairs")
   }
+
+  test("native MinHashSignature is bit-identical to the composed column form") {
+    // the native expression must reproduce xxhash64(k, shingle) EXACTLY —
+    // banding parameters and measured recall were derived from this family
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sh = Dedup.shingles(col("text"), 3)
+    val both = docs500.select(col("doc_id"),
+      Dedup.minhashSignature(sh, 64).as("nat"),
+      Dedup.minhashSignatureColumnForm(sh, 64).as("hof")).collect()
+    assert(both.length === 500)
+    assert(both.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2)),
+      both.collect { case r if r.getSeq[Long](1) != r.getSeq[Long](2) =>
+        r.getLong(0).toString }.take(3))
+  }
+
+  test("native MinHashSignature: interpreted eval agrees with codegen") {
+    val df = Seq(Seq("a b c", "b c d"), Seq("x")).toDF("sh")
+    val viaCodegen = df.select(Dedup.minhashSignature(col("sh"), 16))
+      .collect().map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val viaEval = df.select(Dedup.minhashSignature(col("sh"), 16))
+        .collect().map(_.getSeq[Long](0))
+      assert(viaCodegen.toSeq === viaEval.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
+  test("native WordShingles matches the composed column form on real docs") {
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs500.select(col("doc_id"),
+      Dedup.shingles(col("text"), 3).as("nat"),
+      Dedup.shinglesColumnForm(col("text"), 3).as("hof")).collect()
+    assert(both.length === 500)
+    assert(both.forall(r => r.getSeq[String](1) == r.getSeq[String](2)),
+      both.collect { case r if r.getSeq[String](1) != r.getSeq[String](2) =>
+        r.getLong(0).toString }.take(3))
+  }
+
+  test("native WordShingles edge rows: short/empty/null-token inputs") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def sh(n: Int) = ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(col("toks")), n))
+    val df = Seq(
+      Seq("a", "b"),          // fewer than n=3 → one joined shingle
+      Seq[String](),          // empty → [""]
+      Seq("a", null, "b", "c") // null skipped inside joins (concat_ws)
+    ).toDF("toks")
+    val got = df.select(sh(3)).collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b"))
+    assert(got(1) === Seq(""))
+    // composed-form parity on the null-bearing row
+    val hof = df.select(
+      when(size(col("toks")) < 3, array(concat_ws(" ", col("toks"))))
+        .otherwise(transform(sequence(lit(0), size(col("toks")) - 3),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))))
+      .collect().map(_.getSeq[String](0))
+    assert(got.toSeq === hof.toSeq)
+  }
+
+  test("native MinHashSignature: null shingle elements hash as bare seed") {
+    // parity with xxhash64's null-skipping in the composed form
+    val df = Seq((1L, Seq[String]("a", null, "b"))).toDF("id", "sh")
+    val both = df.select(
+      Dedup.minhashSignature(col("sh"), 8).as("nat"),
+      Dedup.minhashSignatureColumnForm(col("sh"), 8).as("hof")).head()
+    assert(both.getSeq[Long](0) == both.getSeq[Long](1))
+  }
 }

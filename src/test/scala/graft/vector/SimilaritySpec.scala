@@ -101,6 +101,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("native CosineSim is bit-identical to the composed column form") {
+    val pairs = emb.limit(40).select($"vec_id", $"embedding".as("a"))
+      .crossJoin(emb.limit(40).select($"embedding".as("b")))
+    val both = pairs.select(
+      Similarity.cosine($"a", $"b").as("nat"),
+      Similarity.cosineColumnForm($"a", $"b").as("hof")).collect()
+    assert(both.nonEmpty)
+    // bit-level: the three sums accumulate in the same order
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)),
+      both.collect { case r if r.getDouble(0) != r.getDouble(1) =>
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}" }.take(3))
+  }
+
+  test("native CosineSim: zero vector → 0.0, length mismatch → null") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(0.0f, 0.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "z", "longer")
+    val r = df.select(
+      Similarity.cosine($"a", $"z").as("zero"),
+      Similarity.cosine($"a", $"longer").as("mismatch")).head()
+    assert(r.getDouble(0) === 0.0)
+    assert(r.isNullAt(1))
+  }
+
   test("native buckets reject short vectors instead of silently truncating") {
     val df = Seq(Seq(1.0f, 2.0f)).toDF("v")
     assertThrows[Exception] {
