@@ -212,17 +212,21 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** SimHash over token hashes: per-bit majority vote of ±1, computed in
-    * ONE traversal — the aggregate accumulator is the bit-length vote
-    * vector, bit-tested against a literal mask array (variable shifts
-    * aren't expressible, constant masks are; and `bits` separate aggregates
-    * would re-hash every token bits×).
-    *
-    * @param bits signature width (≤ 64; the default 64 uses xxhash64)
-    * @param tokenHash per-token hash producing ≥ `bits` usable bits — pass
-    *   [[TextAnalysis.md5Hash60]] with bits=60 for a hash an external SQL
-    *   engine can reproduce (oracle-checkable), keep xxhash64 for speed. */
-  def simhashSig(c: Column, bits: Int, tokenHash: Column => Column): Column = {
+  /** Default token-hash family (xxhash64). Also a MARKER value:
+    * [[simhashSig]] reference-compares its `tokenHash` against this to
+    * select the native [[SimHashSig]] expression (bit-identical to the
+    * composed form for this family, pinned by DedupSpec). */
+  val XxHash64Token: Column => Column = t => xxhash64(t)
+
+  /** Composed-column SimHash — the generic-hash path (e.g. the 60-bit md5
+    * family the q15 oracle recomputes) and the parity baseline for the
+    * native expression: per-bit majority vote of ±1 in ONE traversal — the
+    * aggregate accumulator is the bit-length vote vector, bit-tested
+    * against a literal mask array (variable shifts aren't expressible,
+    * constant masks are; and `bits` separate aggregates would re-hash
+    * every token bits×). */
+  private[dedup] def simhashSigColumnForm(c: Column, bits: Int,
+      tokenHash: Column => Column): Column = {
     val masks = typedlit((0 until bits).map(k => 1L << k))
     // hash each token ONCE via transform (a lambda variable is a
     // materialized value, so the mask tests below don't re-hash)
@@ -236,8 +240,24 @@ object Dedup {
       lit(0L), (a, b) => a.bitwiseOR(b))
   }
 
-  /** 64-bit SimHash (xxhash64 token hashes — the fast default). */
-  def simhash64(c: Column): Column = simhashSig(c, 64, t => xxhash64(t))
+  /** SimHash over token hashes.
+    *
+    * @param bits signature width (≤ 64; the default 64 uses xxhash64)
+    * @param tokenHash per-token hash producing ≥ `bits` usable bits — pass
+    *   [[TextAnalysis.md5Hash60]] with bits=60 for a hash an external SQL
+    *   engine can reproduce (oracle-checkable), keep the default for
+    *   speed: the default family runs on the native codegen expression
+    *   [[SimHashSig]] (same signatures, primitive vote loop). */
+  def simhashSig(c: Column, bits: Int,
+      tokenHash: Column => Column = XxHash64Token): Column =
+    if (tokenHash eq XxHash64Token) {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(
+        SimHashSig(ColumnBridge.expression(TextAnalysis.tokens(c)), bits))
+    } else simhashSigColumnForm(c, bits, tokenHash)
+
+  /** 64-bit SimHash (xxhash64 token hashes — the fast default, native). */
+  def simhash64(c: Column): Column = simhashSig(c, 64)
 
   /** Hamming distance between two simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -250,7 +270,7 @@ object Dedup {
     * (skew guard — see object doc). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 64,
-      tokenHash: Column => Column = t => xxhash64(t),
+      tokenHash: Column => Column = XxHash64Token,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val chunks = maxHamming + 1
     require(bits % chunks == 0, s"maxHamming+1=$chunks must divide bits=$bits")

@@ -62,6 +62,21 @@ object StreamingValidator {
       .start()
   }
 
+  /** Streaming referential monitor: rows arriving on the stream whose key
+    * has no match in the (static) catalog — the ingest-time form of
+    * `ReferentialCheck.orphans` (north rule: referential checks against the
+    * transcript catalog). Stream-static left-anti is STATELESS in
+    * Structured Streaming (each micro-batch probes the catalog; no
+    * watermark, no state store growth) — the right shape for a
+    * slowly-changing reference table. Set `broadcastCatalog` only when the
+    * catalog is dimension-sized (the suite's never-broadcast caveat for
+    * fact-sized catalogs applies here too). */
+  def orphanStream(stream: DataFrame, catalog: DataFrame, keyCols: Seq[String],
+      broadcastCatalog: Boolean = false): DataFrame = {
+    val cat = if (broadcastCatalog) broadcast(catalog) else catalog
+    stream.join(cat.select(keyCols.map(col): _*), keyCols, "left_anti")
+  }
+
   /** Watermarked violation-rate monitor: one row per (event-time window ×
     * partition cols) with total/error counts. */
   def violationRateByWindow(stream: DataFrame, spec: TableSpec, tsCol: String,

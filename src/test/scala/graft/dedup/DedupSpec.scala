@@ -167,6 +167,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq === hof.toSeq)
   }
 
+  test("native SimHashSig is bit-identical to the composed xxhash64 form") {
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (bits <- Seq(64, 60)) {
+      val both = docs500.select(col("doc_id"),
+        Dedup.simhashSig(col("text"), bits).as("nat"),
+        Dedup.simhashSigColumnForm(col("text"), bits,
+          t => xxhash64(t)).as("hof")).collect()
+      assert(both.forall(r => r.getLong(1) == r.getLong(2)),
+        s"bits=$bits: " + both.collect {
+          case r if r.getLong(1) != r.getLong(2) => r.getLong(0).toString
+        }.take(3))
+    }
+  }
+
+  test("simhashSig with a non-default hash keeps the composed path (md5 oracle family)") {
+    // the md5 family must NOT silently switch to the native xxhash64 path
+    val df = Seq("the quick brown fox").toDF("text")
+    val md5Sig = df.select(Dedup.simhashSig(col("text"), 60,
+      graft.text.TextAnalysis.md5Hash60)).head().getLong(0)
+    val xxSig = df.select(Dedup.simhashSig(col("text"), 60)).head().getLong(0)
+    assert(md5Sig !== xxSig) // different families, different signatures
+  }
+
   test("native MinHashSignature: null shingle elements hash as bare seed") {
     // parity with xxhash64's null-skipping in the composed form
     val df = Seq((1L, Seq[String]("a", null, "b"))).toDF("id", "sh")

@@ -75,4 +75,34 @@ class StreamingValidatorSpec extends AnyFunSuite {
       .count().count()
     assert(expect > 0)
   }
+
+  test("stream-static orphan monitor finds uncatalogued keys, stateless") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft-sorphan").toString
+    val catalog = Seq(1L, 2L, 3L).toDF("user_id")
+    val input = MemoryStream[(Long, String)]
+    val orphans = StreamingValidator.orphanStream(
+      input.toDF().toDF("user_id", "payload"), catalog, Seq("user_id"),
+      broadcastCatalog = true)
+    val q = orphans.writeStream.outputMode("append")
+      .format("memory").queryName("sorphan")
+      .option("checkpointLocation", s"$tmp/ckpt").start()
+    input.addData((1L, "ok"), (7L, "orphan-a"), (2L, "ok"))
+    q.processAllAvailable()
+    input.addData((9L, "orphan-b"), (3L, "ok"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sorphan").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // every uncatalogued key surfaces, every catalogued key passes; the
+    // join is stateless so both batches emit immediately (no watermark)
+    assert(out === Set((7L, "orphan-a"), (9L, "orphan-b")))
+    // batch equivalence: same keys via the batch referential check
+    val batchOrphans = graft.validate.ReferentialCheck.orphans(
+      Seq((1L, "ok"), (7L, "orphan-a"), (2L, "ok"), (9L, "orphan-b"), (3L, "ok"))
+        .toDF("user_id", "payload"),
+      catalog, Seq("user_id")).collect().map(_.getLong(0)).toSet
+    assert(batchOrphans === Set(7L, 9L))
+  }
 }
