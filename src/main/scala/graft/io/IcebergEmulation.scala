@@ -54,6 +54,28 @@ object IcebergEmulation {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed emulated-Iceberg table — the physical realization of
+    * [[createTableDdl]]'s `bucket(n, key)` partition transform, using
+    * Spark's native bucketing (`bucketBy(n, key).sortBy(key).saveAsTable`).
+    * A key-grouped operator over the result (uniqueness groupBy-count, a
+    * co-located key join between two tables bucketed the same way) reads
+    * pre-hash-partitioned, pre-sorted files and needs NO exchange — at
+    * 10^12 rows that removes the uniqueness check's ONLY shuffle
+    * (PlanShapeSpec pins zero exchanges). Table metadata lives in the
+    * session catalog, exactly as Iceberg's bucket transform lives in its
+    * catalog; on a real cluster the same write goes through the Iceberg
+    * catalog DDL instead. */
+  def writeBucketed(df: DataFrame, spec: TableSpec, tableName: String,
+      buckets: Int = 256, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(spec.keyCols.nonEmpty, "bucketed write needs a key column")
+    val key = spec.keyCols.head
+    df.write.mode(mode)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(tableName)
+  }
+
   /** Read with the spec's schema — the emulation of Iceberg's
     * metadata-carried schema: an EMPTY table (zero data files) still reads
     * with its declared columns, exactly like `table.scan()` on a fresh

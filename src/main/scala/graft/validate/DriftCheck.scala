@@ -118,35 +118,69 @@ object DriftCheck {
     * for the DuckDB oracle). NULLs are skipped, like the digest path.
     * Returns (groupCols..., ks_exact). */
   def exactKsPerGroup(reference: DataFrame, current: DataFrame,
+      valueCol: String, groupCols: Seq[String], binWidth: Double): DataFrame =
+    exactGrid(reference, current, valueCol, groupCols, binWidth)
+      .groupBy(groupCols.map(col): _*)
+      .agg(max(abs(col("_cdf_cur") - col("_cdf_ref"))).as("ks_exact"))
+
+  /** EXACT PSI over the same fixed-width bins — Σ (p_cur − p_ref) ·
+    * ln(p_cur / p_ref) with ε-floored per-bin proportions. The exact twin
+    * of the digest PSI (equal-mass bins there, fixed-width here); NOT
+    * DuckDB-oracled because `ln` is engine-specific in its last ulps —
+    * pinned instead against the digest path in ExactKsSpec. */
+  def exactPsiPerGroup(reference: DataFrame, current: DataFrame,
+      valueCol: String, groupCols: Seq[String], binWidth: Double,
+      eps: Double = 1e-6): DataFrame = {
+    val grid = exactGrid(reference, current, valueCol, groupCols, binWidth)
+    def p(cdf: Column): Column = {
+      val prev = lag(cdf, 1, 0.0).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col("_bin")))
+      greatest(cdf - prev, lit(eps))
+    }
+    grid
+      .select(groupCols.map(col) :+
+        ((p(col("_cdf_cur")) - p(col("_cdf_ref"))) *
+          log(p(col("_cdf_cur")) / p(col("_cdf_ref")))).as("_term"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("_term")).as("psi_exact"))
+  }
+
+  /** Shared (group × bin) CDF grid for the exact drift statistics: both
+    * step-function CDFs evaluated at the union of observed bins (a missing
+    * bin carries the running cumulative forward). One counting groupBy per
+    * side — bins, not rows, enter the exchanges; the grid is
+    * O(groups × bins). NULLs are skipped, like the digest path. With no
+    * group columns a constant group is synthesized (global comparison). */
+  private def exactGrid(reference: DataFrame, current: DataFrame,
       valueCol: String, groupCols: Seq[String], binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     import org.apache.spark.sql.expressions.Window
-    def binned(df: DataFrame) = df.where(col(valueCol).isNotNull)
-      .withColumn("_bin",
-        floor(col(valueCol).cast("double") / binWidth).cast("long"))
+    val gCols = if (groupCols.nonEmpty) groupCols else Seq("_global")
+    def binned(df: DataFrame) = {
+      val b = df.where(col(valueCol).isNotNull)
+        .withColumn("_bin",
+          floor(col(valueCol).cast("double") / binWidth).cast("long"))
+      if (groupCols.nonEmpty) b else b.withColumn("_global", lit("all"))
+    }
     val refHist = binned(reference).groupBy(col("_bin"))
       .agg(count(lit(1)).as("_ref_n"))
     val curHist = binned(current)
-      .groupBy(groupCols.map(col) :+ col("_bin"): _*)
+      .groupBy(gCols.map(col) :+ col("_bin"): _*)
       .agg(count(lit(1)).as("_cur_n"))
-    // grid = every (group, bin) point so both step-function CDFs are
-    // evaluated at the union of edges (a missing bin still carries the
-    // running cumulative forward). groups × bins is small by construction.
-    val grid = curHist.select(groupCols.map(col): _*).distinct()
+    val grid = curHist.select(gCols.map(col): _*).distinct()
       .crossJoin(refHist.select("_bin")
         .union(curHist.select("_bin")).distinct())
-      .join(curHist, groupCols :+ "_bin", "left_outer")
+      .join(curHist, gCols :+ "_bin", "left_outer")
       .join(refHist, Seq("_bin"), "left_outer")
-    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("_bin"))
+    val wCum = Window.partitionBy(gCols.map(col): _*).orderBy(col("_bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy(groupCols.map(col): _*)
+    val wTot = Window.partitionBy(gCols.map(col): _*)
     def cdf(cnt: Column): Column =
       sum(coalesce(cnt, lit(0L))).over(wCum).cast("double") /
         sum(coalesce(cnt, lit(0L))).over(wTot).cast("double")
-    grid
-      .withColumn("_diff", abs(cdf(col("_cur_n")) - cdf(col("_ref_n"))))
-      .groupBy(groupCols.map(col): _*)
-      .agg(max(col("_diff")).as("ks_exact"))
+    grid.withColumn("_cdf_cur", cdf(col("_cur_n")))
+      .withColumn("_cdf_ref", cdf(col("_ref_n")))
   }
 
   /** Per-group drift vs a shared reference digest, fully distributed until

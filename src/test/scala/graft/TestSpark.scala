@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.timeType.enabled", "true") // Spark 4.1 TIME preview
       .config("spark.ui.enabled", "false")
+      // saveAsTable target for bucketed-table tests (inside the repo tree)
+      .config("spark.sql.warehouse.dir", "/root/repo/target/test-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

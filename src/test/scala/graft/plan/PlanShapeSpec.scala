@@ -169,6 +169,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected 1 selected partition, got ${scan.get.selectedPartitions.partitionCount}")
   }
 
+  test("bucketed clips table: uniqueness check runs with ZERO exchanges") {
+    // bucket-by-key is the 100 TB shape: the uniqueness groupBy's only
+    // shuffle disappears because the scan's HashPartitioning(clip_id)
+    // already satisfies the aggregation's required distribution
+    val clips = ClipsGenerator.clips(spark, 2000, numPartitions = 4,
+      withErrors = true, maxSynthMs = 10).toDF()
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dir persists — clear both so the managed-table create never collides
+    spark.sql("DROP TABLE IF EXISTS clips_bucketed_test")
+    val loc = new java.io.File("/root/repo/target/test-warehouse/clips_bucketed_test")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    IcebergEmulation.writeBucketed(clips, ClipsGenerator.spec,
+      "clips_bucketed_test", buckets = 4)
+    val bucketed = spark.table("clips_bucketed_test")
+    val shuffles = shuffleOutputs(
+      UniquenessCheck.duplicateKeys(bucketed, Seq("clip_id")))
+    assert(shuffles.isEmpty, s"bucketed uniqueness still shuffles: $shuffles")
+    // and the answer matches the unbucketed path
+    val viaBucketed = UniquenessCheck.duplicateKeys(bucketed, Seq("clip_id")).count()
+    val viaPlain = UniquenessCheck.duplicateKeys(clips, Seq("clip_id")).count()
+    assert(viaBucketed === viaPlain)
+    assert(viaBucketed > 0) // injected duplicates exist
+  }
+
   test("capBuckets adds no exchange beyond the uncapped self-join plan") {
     import spark.implicits._
     val docs = (1L to 40L).map(i =>

@@ -45,6 +45,36 @@ class ExactKsSpec extends AnyFunSuite {
     assert(ks === 0.0)
   }
 
+  test("empty groupCols → one global comparison row") {
+    val ref = (1 to 100).map(_.toDouble).toDF("v")
+    val cur = (51 to 150).map(_.toDouble).toDF("v")
+    val rows = DriftCheck.exactKsPerGroup(ref, cur, "v", Nil, 10).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getDouble(0) === 0.5)
+  }
+
+  test("exact PSI: identical → 0, planted shift → large, digest PSI agrees") {
+    val rnd = new scala.util.Random(42)
+    val refVals = Seq.fill(20000)(rnd.nextDouble() * 100)
+    val curVals = refVals.map(_ + 50.0)
+    val ref = refVals.toDF("v").withColumn("g", lit("x"))
+    val same = DriftCheck.exactPsiPerGroup(ref, ref, "v", Seq("g"), 5)
+      .collect().head.getDouble(1)
+    assert(math.abs(same) < 1e-12, s"self-PSI $same")
+    val cur = curVals.toDF("v").withColumn("g", lit("x"))
+    val shifted = DriftCheck.exactPsiPerGroup(ref, cur, "v", Seq("g"), 5)
+      .collect().head.getDouble(1)
+    assert(shifted > 1.0, s"shift-PSI $shifted") // half the mass displaced
+    // the t-digest PSI (equal-mass bins) must agree on verdict direction
+    // and rough magnitude with the exact fixed-width-bin PSI
+    val dRef = DriftCheck.digest(ref, "v")
+    val dCur = DriftCheck.digest(cur, "v")
+    val sketchPsi = DriftCheck.psi(dRef, dCur)
+    assert(sketchPsi > 1.0, s"digest shift-PSI $sketchPsi")
+    val sketchSelf = DriftCheck.psi(dRef, dRef)
+    assert(math.abs(sketchSelf) < 0.05, s"digest self-PSI $sketchSelf")
+  }
+
   test("per-group isolation: only the drifted group trips") {
     val ref = (1 to 200).map(i => (if (i % 2 == 0) "even" else "odd", i.toDouble))
       .toDF("g", "v")
