@@ -1,10 +1,21 @@
 #!/usr/bin/env bash
-# North-rule cluster launch: the same validation job at N and 4N executors,
-# reporting throughput at both plus scaling efficiency.
+# North-rule cluster launch: the same validation-suite job at N and 4N
+# executors over the SAME input table, reporting throughput at both levels;
+# scaling efficiency = (wall_N / wall_4N) / 4 from the two JSON lines.
 #
-# On a real cluster this is the authoritative scaling measurement; the
-# sandbox analog (no cluster manager available) is graft.Bench's two
-# parallelism levels on identical input — see BASELINE.md for why the
+# graft.Bench cooperates with spark-submit: when the `spark.master` system
+# property is set (always, under spark-submit) it does NOT override the
+# master / shuffle partitioning / local dirs, and with the env below it
+# benchmarks the supplied table instead of generating one:
+#   SPARK_GRAFT_INPUT_DIR  dir containing clips/ and catalog/ (parquet)
+#   SPARK_GRAFT_QUERIES=0  skip the per-query correctness-suite phase
+#   SPARK_GRAFT_SCALING=0  one level per submit (the two submits ARE the
+#                          two levels — in-JVM interleaving is a local-mode
+#                          technique)
+#   SPARK_GRAFT_DENSE=0    skip the generated-input dense phase
+#
+# The sandbox analog (no cluster manager available) is graft.Bench's two
+# local parallelism levels on identical input — see BASELINE.md for why the
 # undersubscribed pair is the honest in-container predictor.
 #
 # Usage:
@@ -15,7 +26,7 @@
 set -euo pipefail
 
 JAR=${1:?jar path}
-INPUT=${2:?input dir (clips parquet/Iceberg root)}
+INPUT=${2:?input dir (must contain clips/ and catalog/ parquet)}
 N=${3:-16}
 CORES=${4:-4}
 MEM=${5:-8g}
@@ -23,9 +34,9 @@ N4=$((N * 4))
 
 run_level() {
   local execs=$1
-  # SPARK_GRAFT_* env is read by graft.Bench; QUERIES=0 + SCAN-only keeps
-  # this a pure suite-throughput measurement on the shared input
-  SPARK_GRAFT_SF_DIR="$INPUT" SPARK_GRAFT_QUERIES=0 SPARK_GRAFT_SCALING=0 \
+  SPARK_GRAFT_INPUT_DIR="$INPUT" \
+  SPARK_GRAFT_QUERIES=0 SPARK_GRAFT_SCALING=0 SPARK_GRAFT_DENSE=0 \
+  SPARK_GRAFT_BENCH_OUT="bench_${execs}execs.json" \
   spark-submit \
     --class graft.Bench \
     --deploy-mode client \
@@ -43,4 +54,5 @@ echo "=== level 1: $N executors x $CORES cores ==="
 run_level "$N"
 echo "=== level 2: $N4 executors x $CORES cores ==="
 run_level "$N4"
-echo "Compute efficiency = (wall_N / wall_4N) / 4 from the two JSON lines."
+echo "Efficiency = (scan_wall_sec[N] / scan_wall_sec[4N]) / 4 from" \
+     "bench_${N}execs.json and bench_${N4}execs.json."

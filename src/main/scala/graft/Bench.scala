@@ -29,26 +29,37 @@ object Bench {
   val ScanReps = 3
   val DenseReps = 3
 
+  /** True when a cluster manager supplied the master (spark-submit sets the
+    * `spark.master` system property). Then the local[k] override, the
+    * cpu-count shuffle partitioning, and the tmpfs local dir must all be
+    * left to the submitted conf — a builder .master() would silently turn
+    * an N-executor run into a driver-local one. */
+  def submittedMaster: Boolean = sys.props.contains("spark.master")
+
   def session(cpus: Int): SparkSession = {
-    // shuffle/spill on tmpfs: this sandbox's virtio disk turns syscall-heavy
-    // shuffle I/O into hypervisor steal-time stalls (measured: sys>user and
-    // ~3 cores of steal at 32 threads); on a real cluster this is the
-    // NVMe-local-scratch equivalent
-    val localDir = "/dev/shm/graft-spark"
-    new java.io.File(localDir).mkdirs()
-    val s = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val base = SparkSession.builder()
       .appName(s"graft-bench-$cpus")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", localDir)
       // Hadoop LocalFS default 4KB read buffer ⇒ ~1M read() syscalls per
       // scanned GB; syscalls are what this hypervisor throttles. 4MB buffers
       // cut them 1000× (standard cluster tuning, not a sandbox hack).
       .config("spark.hadoop.io.file.buffer.size", (4 * 1024 * 1024).toString)
-      .getOrCreate()
+    val builder =
+      if (submittedMaster) base
+      else {
+        // local mode: shuffle/spill on tmpfs (this sandbox's virtio disk
+        // turns syscall-heavy shuffle I/O into hypervisor steal-time
+        // stalls; on a real cluster this is the NVMe-local-scratch
+        // equivalent), shuffle partitions = thread count
+        val localDir = "/dev/shm/graft-spark"
+        new java.io.File(localDir).mkdirs()
+        base.master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus.toString)
+          .config("spark.ui.enabled", "false")
+          .config("spark.local.dir", localDir)
+      }
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -155,10 +166,10 @@ object Bench {
       else {
         val spark = session(cpus)
         OracleTables.ensure(spark, SparkEntry.clipCount(sfDir))
-        // SPARK_GRAFT_ONLY=q17,q14 → time just those queries (iteration aid)
-        val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+        // SPARK_GRAFT_ONLY=q17,q14 → time just those queries (iteration
+        // aid; same filter as Verify)
         val r = SparkEntry.queries.toSeq.sortBy(_._1)
-          .filter(q => only.forall(_.exists(q._1.startsWith)))
+          .filter(q => SparkEntry.onlyFilter(q._1))
           .map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok =
@@ -183,18 +194,38 @@ object Bench {
     //    EXECUTOR scaling; criterion ≥0.8).
     val scaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
     val doScan = sys.env.getOrElse("SPARK_GRAFT_SCAN", "1") != "0"
+    // SPARK_GRAFT_DENSE=0 skips the generated-input dense phase (cluster
+    // runs measure the scan path over a real table instead)
+    val doDense = sys.env.getOrElse("SPARK_GRAFT_DENSE", "1") != "0"
+    // SPARK_GRAFT_INPUT_DIR=<dir with clips/ + catalog/> → benchmark an
+    // EXISTING table (the spark-submit cluster path) instead of writing a
+    // synthetic one to a driver-local temp dir; throughput then divides by
+    // the table's true row count
+    val externalInput = sys.env.get("SPARK_GRAFT_INPUT_DIR")
+    var scanRows = clipsN
     val (scanWallsLow, scanWalls) = if (doScan) {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench").toString
-      writeInput(dir, clipsN)
+      val dir = externalInput.getOrElse {
+        val d = java.nio.file.Files.createTempDirectory("graft-bench").toString
+        writeInput(d, clipsN)
+        d
+      }
+      if (externalInput.isDefined) {
+        val s = session(cpus)
+        try scanRows = s.read.parquet(s"$dir/clips").count()
+        finally s.stop()
+      }
       val r =
         if (scaling) interleaved(lowCpus, cpus, ScanReps, (c, w) => clipRunOnce(c, dir, w))
         else (Seq(Double.NaN), Seq(clipRunOnce(cpus, dir, 2)))
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-      catch { case _: Exception => () }
+      if (externalInput.isEmpty) {
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        catch { case _: Exception => () }
+      }
       r
     } else (Seq(Double.NaN), Seq(Double.NaN))
     val (fullWallsLow, fullWalls) =
-      if (scaling) interleaved(lowCpus, cpus, DenseReps, (c, w) => denseRunOnce(c, clipsN, w))
+      if (!doDense) (Seq(Double.NaN), Seq(Double.NaN))
+      else if (scaling) interleaved(lowCpus, cpus, DenseReps, (c, w) => denseRunOnce(c, clipsN, w))
       else (Seq(Double.NaN), Seq(denseRunOnce(cpus, clipsN, 2)))
     // Secondary evidence: the same dense job UNDERSUBSCRIBED (cpus/8 →
     // cpus/2 cores, e.g. 4→16 on this 32-core host). At full subscription
@@ -209,7 +240,7 @@ object Bench {
     // scheduling latency starts polluting the ratio
     val subN = math.min(clipsN, 4000000L)
     val (subWallsLow, subWalls) =
-      if (scaling && subHigh < cpus)
+      if (scaling && doDense && subHigh < cpus)
         interleaved(subLow, subHigh, 3, (c, w) => denseRunOnce(c, subN, w))
       else (Seq(Double.NaN), Seq(Double.NaN))
 
@@ -221,8 +252,8 @@ object Bench {
       (pick(lows) / pick(highs)) / r
     val scanWall = median(scanWalls); val scanWallLow = median(scanWallsLow)
     val fullWall = fullWalls.min; val fullWallLow = fullWallsLow.min
-    val scanTp = clipsN / scanWall
-    val scanTpLow = clipsN / scanWallLow
+    val scanTp = scanRows / scanWall
+    val scanTpLow = scanRows / scanWallLow
     val fullTp = clipsN / fullWall
     val fullTpLow = clipsN / fullWallLow
     val scanEff = eff(scanWallsLow, scanWalls, ratio, _.min)

@@ -21,6 +21,13 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** SPARK_GRAFT_ONLY=q33,q34 → keep only queries whose name starts with
+    * one of the comma-separated prefixes. ONE definition shared by Verify
+    * and Bench so the same env var always selects the same set. */
+  def onlyFilter(name: String): Boolean =
+    sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+      .forall(_.exists(name.startsWith))
+
   /** documents table spec: all columns required (FIXTURES.md shapes). */
   private val documentsSpec = TableSpec("documents", Seq(
     ColumnSpec("doc_id", LongType),
@@ -328,11 +335,15 @@ object SparkEntry {
     // Drift EXACT twin (round-2 verdict #2): q24's t-digest verdict gets an
     // oracle by planting real drift (one codec's durations shifted +5000 ms)
     // and emitting (a) the EXACT binned KS per codec — integer-count math
-    // DuckDB reproduces bit-for-bit — and (b) the t-digest verdict. The
-    // oracle computes the same exact KS and the exact verdict; a hash match
-    // therefore pins DriftCheck's sketch verdict against exact CDFs (drift
+    // DuckDB reproduces bit-for-bit — and (b) the t-digest KS verdict. The
+    // oracle computes the same exact KS and the exact KS verdict; a hash
+    // match therefore pins the sketch KS verdict against exact CDFs (drift
     // is planted far from the 0.1 threshold on both sides: opus ks≈0.5+,
-    // other codecs ks≈0.01, so sketch error cannot flip the verdict).
+    // other codecs ks≈0.01, so sketch error cannot flip the verdict). The
+    // verdict column is deliberately KS-ONLY on BOTH sides — the combined
+    // ks||psi verdict would make the hash depend on the sketch PSI, which
+    // the oracle cannot compute (ln is engine-specific); the PSI branch is
+    // pinned separately by ExactKsSpec's digest-agreement test.
     "q34_clips_drift_exact" -> ((s, dir) => {
       val n = clipCount(dir)
       val clips = OracleTables.clips(s, n)
@@ -341,7 +352,7 @@ object SparkEntry {
           .otherwise(col("dur_ms")))
       val ref = DriftCheck.digest(clips, "dur_ms")
       val sketch = DriftCheck.compareGroups(cur, "dur_ms", Seq("codec"), ref)
-        .select(col("codec"), col("drifted"))
+        .select(col("codec"), (col("ks") > 0.1).as("drifted"))
       DriftCheck.exactKsPerGroup(clips, cur, "dur_ms", Seq("codec"), 100.0)
         .join(sketch, Seq("codec"))
         .select(col("codec"), round(col("ks_exact"), 6).as("ks_exact"),

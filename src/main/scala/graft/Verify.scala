@@ -23,10 +23,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=q33,q34 → dump just those queries (iteration aid,
-    // same convention as Bench)
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // same filter as Bench)
     SparkEntry.queries
-      .filter(q => only.forall(_.exists(q._1.startsWith)))
+      .filter(q => SparkEntry.onlyFilter(q._1))
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

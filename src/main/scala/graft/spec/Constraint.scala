@@ -68,7 +68,15 @@ case object NotNull extends Constraint {
   * standard implicit widenings. */
 private[spec] object Bound {
   def toLit(v: BigDecimal): Column =
-    if (v.isValidLong) lit(v.toLongExact) else lit(v.toDouble)
+    if (v.isValidLong) lit(v.toLongExact)
+    // whole numbers beyond Long (e.g. the uint64 max bound for a
+    // Decimal(20,0) column) stay EXACT as a Decimal literal — a Double here
+    // would round 2^64−1 up to 2^64 and silently accept out-of-range
+    // values. Decimal-vs-decimal comparison keeps exactness and pushdown;
+    // the (rare) decimal bound on a non-decimal column trades pushdown for
+    // correctness.
+    else if (v.isWhole && v.precision <= 38) lit(v.underlying)
+    else lit(v.toDouble)
 }
 
 /** value >= v — JSON-schema `minimum` (`core/types.py:53`). */

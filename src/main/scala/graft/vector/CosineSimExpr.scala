@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * This sits on every ANN scoring path (brute-force baseline, LSH/IVF
   * verify joins, embedding near-dup verify): the composed
   * higher-order-function form runs through Catalyst's interpreted lambda
-  * machinery per element. Length mismatch returns NULL (the composed
-  * form's zip_with-padding also nulls out), never a truncated score. */
+  * machinery per element. Length mismatch and NULL array elements both
+  * return NULL (exactly what the composed form's zip_with-padding and
+  * null-propagating fold produce), never a truncated or zero-filled
+  * score. */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -50,6 +52,10 @@ case class CosineSim(left: Expression, right: Expression)
     var ab = 0.0; var aa = 0.0; var bb = 0.0
     var i = 0
     while (i < n) {
+      // a NULL element nulls the whole score in the composed form (the
+      // null propagates through the dot fold) — match it, never read a
+      // null slot as 0.0
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       ab += xi * yi; aa += xi * xi; bb += yi * yi
@@ -78,12 +84,15 @@ case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = $getX;
          |    double $yi = $getY;
          |    $ab += $xi * $yi; $aa += $xi * $xi; $bb += $yi * $yi;
          |  }
-         |  double $denom = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
-         |  ${ev.value} = ($denom == 0.0) ? 0.0 : $ab / $denom;
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb);
+         |    ${ev.value} = ($denom == 0.0) ? 0.0 : $ab / $denom;
+         |  }
          |}
        """.stripMargin
     })

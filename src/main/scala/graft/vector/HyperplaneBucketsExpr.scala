@@ -23,7 +23,9 @@ import org.apache.spark.sql.types._
   * SimilaritySpec) and the LSH capture analysis carries over unchanged.
   *
   * Vectors shorter than `dim` are rejected (raise) — a silently truncated
-  * projection would put the row in a wrong-but-plausible bucket. */
+  * projection would put the row in a wrong-but-plausible bucket. A vector
+  * containing a NULL element yields bucket 0 in every table, exactly what
+  * the composed form's null-propagating projections produce. */
 case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
     tables: Int, seed: Long) extends UnaryExpression {
   require(planes >= 1 && planes <= 63, s"planes must be in [1,63], got $planes")
@@ -64,6 +66,14 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
     if (arr.numElements() < dim)
       throw new IllegalArgumentException(
         s"hyperplane_buckets: vector has ${arr.numElements()} elements, expected $dim")
+    // a NULL element nulls every projection in the composed form, whose
+    // `when(proj >= 0, bit)` then contributes 0 for EVERY plane — i.e.
+    // bucket 0 in every table. Match that, never read a null slot as 0.0.
+    var z = 0
+    while (z < dim) {
+      if (arr.isNullAt(z)) return new GenericArrayData(new Array[Long](tables))
+      z += 1
+    }
     val isFloat = elementIsFloat
     val out = new Array[Long](tables)
     var t = 0
@@ -99,6 +109,7 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
     val acc = ctx.freshName("acc")
     val base = ctx.freshName("base")
     val bucket = ctx.freshName("bucket")
+    val hasNull = ctx.freshName("hasNull")
     nullSafeCodeGen(ctx, ev, arr => {
       val get =
         if (elementIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
@@ -108,8 +119,12 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
          |    "hyperplane_buckets: vector has " + $arr.numElements() +
          |    " elements, expected $dim");
          |}
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  if ($arr.isNullAt($i)) { $hasNull = true; break; }
+         |}
          |long[] $out = new long[$tables];
-         |for (int $t = 0; $t < $tables; $t++) {
+         |for (int $t = 0; !$hasNull && $t < $tables; $t++) {
          |  long $bucket = 0L;
          |  for (int $p = 0; $p < $planes; $p++) {
          |    double $acc = 0.0;

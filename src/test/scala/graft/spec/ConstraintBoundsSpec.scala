@@ -49,6 +49,19 @@ class ConstraintBoundsSpec extends AnyFunSuite {
     assert(violators(df, ExclusiveMaximum(m - 1)).toSet === Set(m, m - 1))
   }
 
+  test("whole bounds beyond Long stay exact (uint64-max on Decimal(20,0))") {
+    import org.apache.spark.sql.functions.col
+    val mx = BigDecimal("18446744073709551615") // 2^64 − 1: > Long.MaxValue
+    // a Double bound would round this UP to 2^64 and accept mx+1
+    val df = Seq("18446744073709551614", "18446744073709551615",
+      "18446744073709551616").toDF("s")
+      .select(col("s").cast(org.apache.spark.sql.types.DecimalType(20, 0)).as("v"))
+    val bad = df.where(!Maximum(mx).holds(col("v"))).collect().map(_.get(0).toString)
+    assert(bad === Array("18446744073709551616"))
+    val low = df.where(!Minimum(mx).holds(col("v"))).collect().map(_.get(0).toString)
+    assert(low === Array("18446744073709551614"))
+  }
+
   test("double columns keep the old behavior with fractional bounds") {
     val df = Seq(0.04, 0.05, 0.06).toDF("v")
     assert(violators(df, Maximum(0.05)) === Seq(0.06))

@@ -124,6 +124,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("null vector elements: native matches composed (cosine→null, buckets→0)") {
+    // composed forms: a null element nulls the dot fold → cosine NULL; and
+    // nulls every projection → `when(proj>=0, bit)` contributes 0 in every
+    // plane → bucket 0 per table. The natives must never read null as 0.0.
+    val df = spark.range(1).select(
+      array(lit(1.0f), lit(null).cast("float"), lit(2.0f)).as("a"),
+      array(lit(1.0f), lit(2.0f), lit(3.0f)).as("b"))
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("natCos"),
+      Similarity.cosineColumnForm($"a", $"b").as("hofCos"),
+      Similarity.tableBuckets($"a", 3, 4, 2).as("natBk"),
+      Similarity.hyperplaneBucket($"a", 3, 4, 42L).as("hofBk")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getSeq[Long](2) === Seq(0L, 0L))
+    assert(r.getLong(3) === 0L)
+  }
+
   test("native buckets reject short vectors instead of silently truncating") {
     val df = Seq(Seq(1.0f, 2.0f)).toDF("v")
     assertThrows[Exception] {
