@@ -86,14 +86,26 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     md5(lower(trim(regexp_replace(c, "\\s+", " "))))
 
+  /** Composed-column rolling hash — parity baseline for the native
+    * [[RollingHash]] expression (TextAnalysisSpec pins bit-equality). */
+  private[text] def rollingHashColumnForm(c: Column): Column =
+    aggregate(tokens(c), lit(RollingHashSeed),
+      (acc, t) => xxhash64(acc, t))
+
+  private[text] val RollingHashSeed = 1469598103934665603L
+
   /** 64-bit rolling hash over tokens — an order-sensitive document
     * fingerprint (same word multiset in a different order hashes
     * differently, unlike minhash). Chained xxhash64(acc, token) instead of
     * polynomial mul/add: equally order-sensitive, and safe under ANSI mode
-    * (a raw `acc * prime` long multiply throws ARITHMETIC_OVERFLOW). */
-  def rollingHash(c: Column): Column =
-    aggregate(tokens(c), lit(1469598103934665603L),
-      (acc, t) => xxhash64(acc, t))
+    * (a raw `acc * prime` long multiply throws ARITHMETIC_OVERFLOW). Runs
+    * on the native codegen expression [[RollingHash]] — same chained
+    * values, primitive loop. */
+  def rollingHash(c: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      RollingHash(ColumnBridge.expression(tokens(c)), RollingHashSeed))
+  }
 
   /** Order-sensitive chained-md5 fingerprint: fold md5(acc || token) over
     * the token list. Same order-sensitivity as [[rollingHash]] but built

@@ -66,4 +66,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one(TextAnalysis.subwordCountEstimate(col("t")), "fooBar baz42qux")
       .asInstanceOf[Int] >= 4)
   }
+
+  test("native RollingHash is bit-identical to the composed column form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select(col("doc_id"),
+      TextAnalysis.rollingHash(col("text")).as("nat"),
+      TextAnalysis.rollingHashColumnForm(col("text")).as("hof")).collect()
+    assert(both.length === 500)
+    assert(both.forall(r => r.getLong(1) == r.getLong(2)),
+      both.collect { case r if r.getLong(1) != r.getLong(2) =>
+        r.getLong(0).toString }.take(3))
+    // empty text: fold over zero tokens → split("") yields [""], both forms
+    // hash the single empty token identically
+    assert(one(TextAnalysis.rollingHash(col("t")), "") ===
+      one(TextAnalysis.rollingHashColumnForm(col("t")), ""))
+  }
 }
