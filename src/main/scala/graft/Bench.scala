@@ -166,6 +166,17 @@ object Bench {
       else {
         val spark = session(cpus)
         OracleTables.ensure(spark, SparkEntry.clipCount(sfDir))
+        // Warmup hoist (round-3 verdict #7): the first timed query used to
+        // absorb 3-5 s of JIT + codegen + first-scan session warmup,
+        // making q01's number incomparable across rounds. Run two untimed
+        // queries first — a scan+project (q09) and a shuffle+agg (q03) —
+        // so every timed number is steady-state.
+        try {
+          SparkEntry.queries("q09_token_stats")(spark, sfDir).count()
+          SparkEntry.queries("q03_unique_violations")(spark, sfDir).count()
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
+        }
         // SPARK_GRAFT_ONLY=q17,q14 → time just those queries (iteration
         // aid; same filter as Verify)
         val r = SparkEntry.queries.toSeq.sortBy(_._1)

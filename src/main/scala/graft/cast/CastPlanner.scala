@@ -119,6 +119,20 @@ object CastPlanner {
       case d: DecimalType if d.scale > 0 => true
       case _ => false
     }
+    // float/double magnitudes beyond Decimal(38,0) (e.g. 1e40) are integral
+    // by representation, so they pass the `% 1` guard — but the
+    // Decimal(38,0) parse inside rangeChecked would then throw Spark's
+    // generic ANSI CAST_OVERFLOW instead of the library's range error.
+    // Pre-guard the magnitude: every hint range tops out at uint64
+    // (~1.8e19 < 1e38), so |x| ≥ 1e38 is always out of range. Decimal
+    // sources can't hit this (a Decimal(38,s) value always fits 38 digits).
+    val floatSrc = src == FloatType || src == DoubleType
+    val rangeGuarded =
+      if (!floatSrc) rangeChecked
+      else when(abs(t) >= lit(1e38),
+        raise_error(concat(lit(s"str_to_$hint: value out of range: '"),
+          c.cast(StringType), lit("'"))).cast(tgt))
+        .otherwise(rangeChecked)
     if (isStr)
       when(c.isNull, lit(null).cast(tgt))
         .when(!t.rlike("^[+-]?[0-9]{1,38}$"),
@@ -130,9 +144,9 @@ object CastPlanner {
         .when((t % lit(1)) =!= lit(0),
           raise_error(concat(lit(s"str_to_$hint: non-integral value: '"),
             c.cast(StringType), lit("'"))).cast(tgt))
-        .otherwise(rangeChecked)
+        .otherwise(rangeGuarded)
     else
-      when(c.isNull, lit(null).cast(tgt)).otherwise(rangeChecked)
+      when(c.isNull, lit(null).cast(tgt)).otherwise(rangeGuarded)
   }
 
   /** Convenience spec builder for an [[integralHints]] target:

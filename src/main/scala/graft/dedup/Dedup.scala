@@ -28,14 +28,29 @@ object Dedup {
     * parallelism before a compute-dense per-row stage (signature hashing is
     * ~64 hashes/shingle — a single 2 MB parquet file would otherwise run
     * single-task). At scale the input's own partitioning already exceeds
-    * core count and this is a no-op — no shuffle added. Partition count is
-    * read from the physical plan's internal-row RDD (no row-deserializing
-    * `df.rdd` lineage, no job). */
+    * core count and this is a no-op — no shuffle added.
+    *
+    * AQE safety (round-3 verdict #2): the helper only inspects SCAN-SHAPED
+    * plans (leaves plus narrow Project/Filter). For those, finalizing the
+    * adaptive plan via `queryExecution.toRdd` is free — there are no
+    * exchange stages to materialize, so no job runs. A composed input
+    * (joins/aggregations) is returned unchanged: under AQE, reading ITS
+    * partition count would eagerly execute its shuffle stages at
+    * plan-construction time, and such a plan is already
+    * shuffle-partitions-wide anyway — rebalancing it is not this helper's
+    * job. Pinned by DedupSpec's no-job-at-plan-time test. */
   private def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.queryExecution.toRdd.getNumPartitions * 2 < target)
-      df.repartition(target)
-    else df
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    val scanShaped = df.queryExecution.optimizedPlan.collect { case n => n }
+      .forall(n => n.children.isEmpty ||
+        n.isInstanceOf[LProject] || n.isInstanceOf[LFilter])
+    if (!scanShaped) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.queryExecution.toRdd.getNumPartitions * 2 < target)
+        df.repartition(target)
+      else df
+    }
   }
 
   /** Skew guard: keep only rows whose bucket has ≤ maxBucket members. The
@@ -212,11 +227,22 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** Default token-hash family (xxhash64). Also a MARKER value:
-    * [[simhashSig]] reference-compares its `tokenHash` against this to
-    * select the native [[SimHashSig]] expression (bit-identical to the
-    * composed form for this family, pinned by DedupSpec). */
-  val XxHash64Token: Column => Column = t => xxhash64(t)
+  /** Token-hash family for SimHash — an explicit ADT so the native-vs-
+    * composed dispatch is a CASE match, not lambda reference identity
+    * (round-3 advice: a structurally identical `t => xxhash64(t)` lambda
+    * must not silently fall off the ~10× native path, and a refactor can't
+    * break the dispatch without a test failing). */
+  sealed trait TokenHashFamily extends Serializable
+  object TokenHashFamily {
+    /** `xxhash64(token)` — the fast default; runs on the native codegen
+      * [[SimHashSig]] expression (bit-identical to the composed form,
+      * pinned by DedupSpec). */
+    case object XxHash64 extends TokenHashFamily
+    /** Any other per-token hash (e.g. `TextAnalysis.md5Hash60` for the
+      * DuckDB-reproducible 60-bit family) — runs the composed column
+      * form. */
+    final case class Custom(hash: Column => Column) extends TokenHashFamily
+  }
 
   /** Composed-column SimHash — the generic-hash path (e.g. the 60-bit md5
     * family the q15 oracle recomputes) and the parity baseline for the
@@ -243,18 +269,20 @@ object Dedup {
   /** SimHash over token hashes.
     *
     * @param bits signature width (≤ 64; the default 64 uses xxhash64)
-    * @param tokenHash per-token hash producing ≥ `bits` usable bits — pass
-    *   [[TextAnalysis.md5Hash60]] with bits=60 for a hash an external SQL
-    *   engine can reproduce (oracle-checkable), keep the default for
-    *   speed: the default family runs on the native codegen expression
-    *   [[SimHashSig]] (same signatures, primitive vote loop). */
+    * @param family per-token hash family: the default
+    *   [[TokenHashFamily.XxHash64]] runs on the native codegen expression
+    *   [[SimHashSig]] (primitive vote loop); pass
+    *   `TokenHashFamily.Custom(TextAnalysis.md5Hash60)` with bits=60 for a
+    *   hash an external SQL engine can reproduce (oracle-checkable). */
   def simhashSig(c: Column, bits: Int,
-      tokenHash: Column => Column = XxHash64Token): Column =
-    if (tokenHash eq XxHash64Token) {
-      import org.apache.spark.sql.graft.ColumnBridge
-      ColumnBridge.column(
-        SimHashSig(ColumnBridge.expression(TextAnalysis.tokens(c)), bits))
-    } else simhashSigColumnForm(c, bits, tokenHash)
+      family: TokenHashFamily = TokenHashFamily.XxHash64): Column =
+    family match {
+      case TokenHashFamily.XxHash64 =>
+        import org.apache.spark.sql.graft.ColumnBridge
+        ColumnBridge.column(
+          SimHashSig(ColumnBridge.expression(TextAnalysis.tokens(c)), bits))
+      case TokenHashFamily.Custom(hash) => simhashSigColumnForm(c, bits, hash)
+    }
 
   /** 64-bit SimHash (xxhash64 token hashes — the fast default, native). */
   def simhash64(c: Column): Column = simhashSig(c, 64)
@@ -270,7 +298,7 @@ object Dedup {
     * (skew guard — see object doc). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bits: Int = 64,
-      tokenHash: Column => Column = XxHash64Token,
+      family: TokenHashFamily = TokenHashFamily.XxHash64,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val chunks = maxHamming + 1
     require(bits % chunks == 0, s"maxHamming+1=$chunks must divide bits=$bits")
@@ -280,7 +308,7 @@ object Dedup {
     // bucket (then the cap silently drops it)
     val chunkMask = if (bitsPer >= 64) -1L else (1L << bitsPer) - 1
     val withSig = ensureParallelism(df)
-      .select(col(idCol).as("_id"), simhashSig(col(textCol), bits, tokenHash).as("_sim"))
+      .select(col(idCol).as("_id"), simhashSig(col(textCol), bits, family).as("_sim"))
     val chunkVals = array((0 until chunks).map(k =>
       shiftright(col("_sim"), k * bitsPer).bitwiseAND(lit(chunkMask))): _*)
     val banded = withSig.select(col("_id"), col("_sim"), posexplode(chunkVals))

@@ -18,6 +18,43 @@ import org.apache.spark.sql.types._
   * documented deviation per SURVEY.md §1.3). */
 object IcebergEmulation {
 
+  /** True when an Iceberg Spark runtime is on the classpath (round-3
+    * verdict #6). Detection is by `Class.forName` only — no compile-time
+    * Iceberg dependency, so this file builds identically with and without
+    * the jars. In this sandbox it is false (no Iceberg jars in
+    * /opt/spark/jars); on a cluster submitted with
+    * `--packages org.apache.iceberg:iceberg-spark-runtime-...` it flips
+    * true and [[writeTable]]/[[readTable]] route through a real
+    * `USING iceberg` catalog table instead of the parquet emulation. */
+  lazy val icebergRuntimeAvailable: Boolean =
+    scala.util.Try(Class.forName(
+      "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+    ).isSuccess
+
+  /** Create-if-absent + append through the real Iceberg catalog when the
+    * runtime is present, else the Hive-layout parquet emulation at `path`.
+    * `fqTableName` is the catalog table (e.g. `local.db.clips`); `path` is
+    * the emulation fallback location. Returns the DDL it ran (real path)
+    * or would run (emulated path) so callers can log lineage either way. */
+  def writeTable(df: DataFrame, spec: TableSpec, fqTableName: String,
+      path: String, mode: SaveMode = SaveMode.Overwrite): String = {
+    val ddl = createTableDdl(spec, fqTableName, bucketKey = false)
+    if (icebergRuntimeAvailable) {
+      df.sparkSession.sql(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
+      df.writeTo(fqTableName).append()
+    } else write(df, spec, path, mode)
+    ddl
+  }
+
+  /** Read back what [[writeTable]] wrote: the catalog table when the
+    * Iceberg runtime is present (schema carried by the catalog, snapshot
+    * lineage available via `table.snapshots()`), else the schema-carrying
+    * parquet read (the emulation of metadata-carried schema). */
+  def readTable(spark: SparkSession, fqTableName: String, path: String,
+      spec: TableSpec): DataFrame =
+    if (icebergRuntimeAvailable) spark.table(fqTableName)
+    else read(spark, path, spec)
+
   /** Spark SQL DDL type rendering for a spec column. */
   def sqlType(dt: DataType): String = dt.sql
 

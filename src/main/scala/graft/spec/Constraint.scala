@@ -108,13 +108,33 @@ final case class ExclusiveMaximum(v: BigDecimal) extends NullPassing {
 }
 
 /** value % v == 0 — JSON-schema `multipleOf` (`core/types.py:66-71`, which
-  * divides arbitrary numerics: `5 % Decimal('2.5') == 0`). Integral divisors
-  * keep exact integer remainder; fractional divisors use double remainder —
-  * the same float-mod semantics Python applies (`1.3 % 0.5 != 0` in both). */
+  * divides arbitrary numerics with Decimal arithmetic: `5 % Decimal('2.5')
+  * == 0`). Integral divisors keep the exact integer remainder. Fractional
+  * divisors take the remainder in DECIMAL arithmetic, matching the
+  * reference: double remainder is wrong there (`0.3 % 0.1` is nonzero in
+  * binary floating point, so it would flag 0.3 as a violation of
+  * MultipleOf(0.1) where Decimal passes it). The value reaches the decimal
+  * mod through its shortest decimal rendering (Spark's double→string emits
+  * "0.3", exactly what Python's Decimal(str(x)) would see) — casting the
+  * double BITS to decimal directly would either round 0.35→0.4 at the
+  * divisor's scale or preserve the binary noise 0.2999…988 at high scale,
+  * both wrong. The cast applies to the mod input only; no pushdown exists
+  * for `%` anyway, so nothing is lost at the scan. Values whose decimal
+  * image overflows Decimal(38,18) (|x| ≳ 1e20, plus NaN/Inf) fall back to
+  * the double remainder (NaN % v = NaN ≠ 0 ⇒ violation, as before). */
 final case class MultipleOf(v: BigDecimal) extends NullPassing {
   require(v != 0, "multipleOf divisor must be non-zero")
   val id = "multiple_of"
-  protected def pred(c: Column): Column = (c % Bound.toLit(v)) === lit(0)
+  protected def pred(c: Column): Column =
+    if (v.isValidLong) (c % Bound.toLit(v)) === lit(0)
+    else {
+      import org.apache.spark.sql.types.{DecimalType, StringType}
+      // try_cast: NaN/Inf/overflow decimal images become NULL (→ the
+      // double-mod fallback) instead of an ANSI CAST_INVALID_INPUT abort
+      val dec = c.cast(StringType).try_cast(DecimalType(38, 18))
+      when(dec.isNotNull, (dec % lit(v.underlying)) === lit(0))
+        .otherwise((c % lit(v.toDouble)) === lit(0))
+    }
   override def jsonKey = Some("multipleOf" -> v)
 }
 

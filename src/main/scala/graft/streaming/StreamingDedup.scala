@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.TimestampType
 
 /** Streaming deduplication — the ingest-time twin of [[graft.dedup.Dedup]]
   * (the reference library is batch-only; a training-data pipeline dedups AT
@@ -31,7 +32,8 @@ object StreamingDedup {
   def dedupWithinWatermark(stream: DataFrame, keyCols: Seq[String],
       tsCol: String, delay: String): DataFrame =
     stream
-      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn(tsCol, col(tsCol).try_cast(TimestampType))
+      .where(col(tsCol).isNotNull) // same poison-pill guard as duplicateCounts
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
@@ -47,7 +49,15 @@ object StreamingDedup {
     val spark = stream.sparkSession
     import spark.implicits._
     val keyed = stream
-      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      // poison-pill guard (round-3 verdict #1): a malformed event time must
+      // not kill the whole ingest-dedup query. try_cast (not cast) so a bad
+      // string becomes NULL instead of an ANSI CAST_INVALID_INPUT abort;
+      // the NULL is then dropped BEFORE the stateful operator — it would
+      // otherwise reach flatMapGroupsWithState and NPE `lastEventMs`, and a
+      // row with no event time can't participate in event-time state
+      // anyway.
+      .withColumn(tsCol, col(tsCol).try_cast(TimestampType))
+      .where(col(tsCol).isNotNull)
       .withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).cast("string").as("key"), col(tsCol).as("ts"))
       .as[(String, java.sql.Timestamp)]

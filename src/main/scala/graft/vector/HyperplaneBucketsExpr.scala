@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
   * column form, so every bucket id is bit-identical (pinned by
   * SimilaritySpec) and the LSH capture analysis carries over unchanged.
   *
-  * Vectors shorter than `dim` are rejected (raise) — a silently truncated
-  * projection would put the row in a wrong-but-plausible bucket. A vector
-  * containing a NULL element yields bucket 0 in every table, exactly what
-  * the composed form's null-propagating projections produce. */
+  * Vectors whose length differs from `dim` are rejected (raise) — in
+  * EITHER direction: a shorter vector would read out of bounds, and a
+  * longer one silently truncated to its first `dim` elements would land in
+  * a wrong-but-plausible bucket (the length check is `!=`, not `<`). A
+  * vector containing a NULL element yields bucket 0 in every table,
+  * exactly what the composed form's null-propagating projections
+  * produce. */
 case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
     tables: Int, seed: Long) extends UnaryExpression {
   require(planes >= 1 && planes <= 63, s"planes must be in [1,63], got $planes")
@@ -63,7 +66,7 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    if (arr.numElements() < dim)
+    if (arr.numElements() != dim)
       throw new IllegalArgumentException(
         s"hyperplane_buckets: vector has ${arr.numElements()} elements, expected $dim")
     // a NULL element nulls every projection in the composed form, whose
@@ -114,7 +117,7 @@ case class HyperplaneBuckets(child: Expression, dim: Int, planes: Int,
       val get =
         if (elementIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |if ($arr.numElements() < $dim) {
+         |if ($arr.numElements() != $dim) {
          |  throw new IllegalArgumentException(
          |    "hyperplane_buckets: vector has " + $arr.numElements() +
          |    " elements, expected $dim");

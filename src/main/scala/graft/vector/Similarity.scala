@@ -246,20 +246,36 @@ object Similarity {
     * distributed assignment + (cell, dim)-grouped mean, O(nCells×dim)
     * collected to the driver. ivfTopK's binning pass stays the only
     * full-corpus assignment. The centroid table is tiny and broadcast
-    * everywhere it is used. */
+    * everywhere it is used. If the hash-selected sample under-fills the
+    * seed set (tiny corpus / nCells ≈ sampleSize), training falls back to
+    * the full projection instead of aborting; a corpus smaller than nCells
+    * simply trains fewer cells (size downstream probes off
+    * `centroids.size`). */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 2, sampleSize: Int = 100000): Seq[Seq[Double]] = {
     require(sampleSize >= nCells, s"sampleSize=$sampleSize < nCells=$nCells")
-    val sample = trainingSample(corpus, idCol, vecCol, sampleSize).persist()
+    var sample = trainingSample(corpus, idCol, vecCol, sampleSize).persist()
     try {
-      val seeds = sample
+      def seedsFrom(df: DataFrame): Seq[Seq[Double]] = df
         .orderBy(xxhash64(col("_id")), col("_id"))
         .limit(nCells)
         .collect()
         .map(_.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue).toSeq)
         .toSeq
-      require(seeds.size == nCells,
-        s"sample yielded only ${seeds.size} rows for $nCells cells")
+      var seeds = seedsFrom(sample)
+      if (seeds.size < nCells) {
+        // short sample (nCells close to sampleSize, or a small corpus whose
+        // hash selection landed thin — round-3 advice): fall back to
+        // training on the FULL id/vector projection instead of aborting.
+        // Any corpus small enough to under-fill the sample is small enough
+        // to Lloyd-iterate directly (the sampling exists to avoid full
+        // scans at 10^12 rows, not at 10^4).
+        sample.unpersist()
+        sample = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")).persist()
+        seeds = seedsFrom(sample)
+        // a corpus with fewer than nCells vectors trains k = corpus size
+        // cells — callers size downstream probes off centroids.size
+      }
       (1 to iters).foldLeft(seeds) { (cents, _) =>
         val assigned = sample
           .select(col("_v"))

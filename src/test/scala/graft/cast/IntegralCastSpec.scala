@@ -139,4 +139,17 @@ class IntegralCastSpec extends AnyFunSuite {
     assert(hintedFromNumeric("uint8", df).map(Option(_)) ===
       Seq(Some(2.toShort), None))
   }
+  test("huge double beyond Decimal(38,0) raises the LIBRARY range error (r3 advice)") {
+    // 1e40 is integral by representation (passes the % 1 guard) and
+    // previously fell into Spark's generic ANSI CAST_OVERFLOW from the
+    // Decimal(38,0) parse; the magnitude pre-guard must surface the
+    // intended 'str_to_<hint>: value out of range' message instead
+    val e = intercept[Exception] {
+      hintedFromNumeric("uint64", Seq(1e40).toDF("value"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("str_to_uint64: value out of range")),
+      s"got: ${msgs(e).mkString(" | ")}")
+  }
 }

@@ -185,7 +185,7 @@ class DedupSpec extends AnyFunSuite {
     // the md5 family must NOT silently switch to the native xxhash64 path
     val df = Seq("the quick brown fox").toDF("text")
     val md5Sig = df.select(Dedup.simhashSig(col("text"), 60,
-      graft.text.TextAnalysis.md5Hash60)).head().getLong(0)
+      Dedup.TokenHashFamily.Custom(graft.text.TextAnalysis.md5Hash60))).head().getLong(0)
     val xxSig = df.select(Dedup.simhashSig(col("text"), 60)).head().getLong(0)
     assert(md5Sig !== xxSig) // different families, different signatures
   }
@@ -197,5 +197,47 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minhashSignature(col("sh"), 8).as("nat"),
       Dedup.minhashSignatureColumnForm(col("sh"), 8).as("hof")).head()
     assert(both.getSeq[Long](0) == both.getSeq[Long](1))
+  }
+
+  test("composed inputs never execute at plan-construction time (r3 verdict #2)") {
+    // ensureParallelism used to read queryExecution.toRdd.getNumPartitions,
+    // which under AQE finalizes the physical plan — passing a DataFrame
+    // containing joins/aggregations into jaccardScores/minhashNearDups
+    // eagerly executed its shuffle stages while BUILDING the plan. The
+    // helper now gates on scan-shaped plans; a composed input must run
+    // ZERO jobs until an action is called.
+    val sc = spark.sparkContext
+    val composed = docs.groupBy(col("doc_id"))
+      .agg(first(col("text")).as("text"))
+    sc.setJobGroup("aqe-safe", "plan-construction job pin")
+    val plan =
+      try {
+        val p = Dedup.jaccardScores(composed,
+          composed.where(col("doc_id") < 2), "doc_id", "text", threshold = 0.2)
+        assert(p.columns.contains("jaccard")) // plan fully constructed
+        p
+      } finally sc.clearJobGroup()
+    Thread.sleep(500) // status store is fed asynchronously
+    val jobs = sc.statusTracker.getJobIdsForGroup("aqe-safe")
+    assert(jobs.isEmpty,
+      s"plan construction ran ${jobs.length} job(s) — composed input executed eagerly")
+    // and the composed-input pipeline still computes the right answer
+    val got = plan.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.jaccardScores(docs, docs.where(col("doc_id") < 2),
+      "doc_id", "text", threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === direct)
+  }
+
+  test("scan inputs still rebalance below-parallelism partitioning") {
+    // the AQE gate must not disable the original purpose: a single-file
+    // scan (1 partition) feeding the compute-dense signature stage widens
+    // to the session's parallelism
+    val docs500 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = Dedup.jaccardScores(docs500,
+      docs500.where(col("doc_id") < 2), "doc_id", "text", threshold = 0.99)
+    val parts = scored.rdd.getNumPartitions
+    assert(parts >= spark.sparkContext.defaultParallelism / 2,
+      s"scan input stayed at $parts partitions")
   }
 }

@@ -18,13 +18,43 @@ class ConstraintBoundsSpec extends AnyFunSuite {
       colName: String = "v"): Seq[Any] =
     df.where(!c.holds(col(colName))).collect().map(_.get(0)).toSeq
 
-  test("fractional multipleOf divisors (0.5, 0.25) — float-mod semantics") {
+  test("fractional multipleOf divisors (0.5, 0.25) — decimal-mod semantics") {
     val df = Seq(1.0, 1.25, 1.3, 2.5, 0.75).toDF("v")
     // 0.5 divides 1.0 and 2.5; 1.25/1.3/0.75 violate
     assert(violators(df, MultipleOf(0.5)) === Seq(1.25, 1.3, 0.75))
-    // 0.25 divides everything here except 1.3 (1.3 % 0.25 != 0 in doubles,
-    // exactly as in Python: Decimal/float mod, core/types.py:66-71)
+    // 0.25 divides everything here except 1.3 (Decimal('1.3') % Decimal(
+    // '0.25') != 0, matching the reference's core/types.py:66-71)
     assert(violators(df, MultipleOf(0.25)) === Seq(1.3))
+  }
+
+  test("fractional multipleOf passes the classic binary-float traps (r3 verdict #3)") {
+    // 0.3 % 0.1 and 1.05 % 0.05 are NONZERO in binary floating point but
+    // zero in the reference's Decimal arithmetic — the double-mod
+    // implementation wrongly flagged them. 0.35 % 0.1 must still violate
+    // (a scale-1 rounding of the value would round 0.35→0.4 and pass it).
+    val df = Seq(0.3, 0.35, 0.7, 1.0).toDF("v")
+    assert(violators(df, MultipleOf(0.1)) === Seq(0.35))
+    assert(violators(Seq(1.05, 1.07).toDF("v"), MultipleOf(0.05)) === Seq(1.07))
+    // ref core/types.py doctest shape: 5 % Decimal('2.5') == 0
+    assert(violators(Seq(5.0, 6.0).toDF("v"), MultipleOf(2.5)) === Seq(6.0))
+    // integer columns against a fractional divisor go through the same
+    // exact decimal path
+    assert(violators(Seq(1L, 2L).toDF("v"), MultipleOf(0.5)) === Seq())
+  }
+
+  test("fractional multipleOf edge inputs: NaN/Inf fall back safely, no NULLs") {
+    // NaN/Inf have no decimal image → double-mod fallback: NaN % v = NaN ≠ 0
+    // ⇒ violation (a non-numeric duration is never a valid multiple), and
+    // `holds` keeps its never-NULL contract on every row
+    val df = Seq(Double.NaN, Double.PositiveInfinity, 1e30, 0.2).toDF("v")
+    val bad = violators(df, MultipleOf(0.1))
+    assert(bad.exists(v => v.asInstanceOf[Double].isNaN))
+    assert(bad.exists(v => v.asInstanceOf[Double].isPosInfinity))
+    assert(!bad.contains(0.2)) // exact decimal multiple stays clean
+    // the huge-magnitude fallback row (1e30 overflows Decimal(38,18)) must
+    // produce a definite boolean either way — count pass+fail == all rows
+    val held = df.where(MultipleOf(0.1).holds(col("v"))).count()
+    assert(held + bad.size === 4)
   }
 
   test("integral multipleOf keeps exact integer remainder on longs") {

@@ -105,4 +105,21 @@ class IvfSpec extends AnyFunSuite {
       cents, nprobe = 8))
     assert(ivf === exact)
   }
+
+  test("short sample tops up instead of aborting (r3 advice: tiny corpus)") {
+    // a 3-vector corpus cannot fill nCells=4 seeds from ANY sample; the old
+    // require() aborted training where the full-corpus code succeeded.
+    // Now training falls back to the full projection and lowers k to the
+    // corpus size — and the degenerate full-probe search still works.
+    val tiny = emb.where(col("vec_id") < 3)
+    val cents = Similarity.trainCentroids(tiny, "vec_id", "embedding",
+      nCells = 4, iters = 2, sampleSize = 4)
+    assert(cents.size === 3)
+    assert(cents.forall(_.size === 64))
+    val exact = pairs(Similarity.bruteForceTopK(tiny,
+      tiny.where(col("vec_id") < 1), "vec_id", "embedding", 2))
+    val ivf = pairs(Similarity.ivfTopK(tiny, tiny.where(col("vec_id") < 1),
+      "vec_id", "embedding", 2, cents, nprobe = cents.size))
+    assert(ivf === exact)
+  }
 }

@@ -148,4 +148,14 @@ class SimilaritySpec extends AnyFunSuite {
         tables = 2)).collect()
     }
   }
+
+  test("native buckets reject LONG vectors too (r3 advice: no silent truncation)") {
+    // a 10-element vector against dim=8 previously projected on its first
+    // 8 components — a wrong-but-plausible bucket; the check is now `!=`
+    val df = Seq(Seq.tabulate(10)(i => i.toFloat)).toDF("v")
+    assertThrows[Exception] {
+      df.select(Similarity.tableBuckets(col("v"), dim = 8, planes = 4,
+        tables = 2)).collect()
+    }
+  }
 }
