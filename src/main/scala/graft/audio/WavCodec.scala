@@ -8,18 +8,32 @@ import java.nio.{ByteBuffer, ByteOrder}
   * function of (freq, durMs, srHz), so the reference PCM can be re-derived
   * on any executor without shipping goldens (SURVEY.md §7.4 risk 6).
   *
-  * Only PCM WAV is genuinely decoded. Compressed codecs (flac/opus/mp3)
-  * would need codec libraries that are not in this container — decode for
-  * those is a clearly-marked deterministic STUB (see [[AudioCodec.decode]]);
-  * the Spark-side plumbing (binary column, sampled UDF, partition summary)
-  * is real and tested.
+  * PCM WAV and FLAC ([[FlacCodec]], from-scratch per the public format
+  * spec) are genuinely decoded. opus/mp3 would need lossy codec libraries
+  * that are not in this container — decode for those is a clearly-marked
+  * deterministic STUB (see [[AudioCodec.decode]]); the Spark-side plumbing
+  * (binary column, sampled UDF, partition summary) is real and tested.
   */
 object WavCodec {
 
+  /** Mono 16-bit PCM sine samples — the raw signal both containers wrap. */
+  def synthSineSamples(freqHz: Double, durMs: Int, srHz: Int,
+      amplitude: Double = 0.5): Array[Short] = {
+    val nSamples = math.max(0, (srHz.toLong * durMs / 1000).toInt)
+    val out = new Array[Short](nSamples)
+    val scale = amplitude * Short.MaxValue
+    var i = 0
+    while (i < nSamples) {
+      out(i) = math.round(math.sin(2.0 * math.Pi * freqHz * i / srHz) * scale).toShort
+      i += 1
+    }
+    out
+  }
+
   /** Mono 16-bit PCM sine, amplitude 0..1, little-endian RIFF container. */
   def synthSine(freqHz: Double, durMs: Int, srHz: Int, amplitude: Double = 0.5): Array[Byte] = {
-    val nSamples = math.max(0, (srHz.toLong * durMs / 1000).toInt)
-    val dataSize = nSamples * 2
+    val samples = synthSineSamples(freqHz, durMs, srHz, amplitude)
+    val dataSize = samples.length * 2
     val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
       .put("WAVE".getBytes("US-ASCII"))
@@ -31,13 +45,8 @@ object WavCodec {
       .putShort(2) // block align
       .putShort(16) // bits per sample
       .put("data".getBytes("US-ASCII")).putInt(dataSize)
-    val scale = amplitude * Short.MaxValue
     var i = 0
-    while (i < nSamples) {
-      val v = math.sin(2.0 * math.Pi * freqHz * i / srHz) * scale
-      buf.putShort(math.round(v).toShort)
-      i += 1
-    }
+    while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
     buf.array()
   }
 
@@ -110,17 +119,21 @@ object WavCodec {
 /** Codec dispatch for the `codec` column. */
 object AudioCodec {
 
-  /** Decode `bytes` to (srHz, PCM s16). `pcm_s16le` (WAV container) is a
-    * real parse; compressed codecs are a DETERMINISTIC FAKE (??? at scale:
-    * would shell out to a real decoder library): the synthetic generator
-    * writes WAV bytes for every codec value, so the fake path simply
-    * delegates to the WAV parser — kept separate so swapping in real
-    * flac/opus/mp3 decoders is a one-line change per codec. */
+  /** Decode `bytes` to (srHz, PCM s16). `pcm_s16le` (WAV container) and
+    * `flac` ([[FlacCodec]], from-scratch lossless codec — real compressed
+    * bytes, CRC-verified decode) are REAL parses. opus/mp3 are lossy codecs
+    * whose decoders cannot be meaningfully reimplemented here and no codec
+    * library exists in this container — those remain a DETERMINISTIC STUB
+    * (??? at scale: would call a real decoder library): the synthetic
+    * generator stores WAV bytes under those labels, so the stub delegates
+    * to the WAV parser — kept separate so swapping in real opus/mp3
+    * decoders is a one-line change per codec. */
   def decode(bytes: Array[Byte], codec: String): (Int, Array[Short]) = codec match {
     case "pcm_s16le" => WavCodec.decodePcm16(bytes)
-    case "flac" | "opus" | "mp3" =>
-      // STUB: no codec libs in this container; synthetic data stores WAV
-      // bytes for all codec labels (ClipsGenerator), so parse as WAV.
+    case "flac" => FlacCodec.decode(bytes)
+    case "opus" | "mp3" =>
+      // STUB: lossy codecs, no codec libs in this container; synthetic
+      // data stores WAV bytes under these labels (ClipsGenerator).
       WavCodec.decodePcm16(bytes)
     case other => throw new IllegalArgumentException(s"unknown codec: $other")
   }

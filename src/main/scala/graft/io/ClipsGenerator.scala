@@ -1,6 +1,6 @@
 package graft.io
 
-import graft.audio.WavCodec
+import graft.audio.{FlacCodec, WavCodec}
 import graft.spec._
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.types._
@@ -82,9 +82,19 @@ object ClipsGenerator {
   def referenceBytes(i: Long, maxSynthMs: Int): Array[Byte] =
     WavCodec.synthSine(freqHz(i), math.min(durMs(i), maxSynthMs), srHz(i))
 
+  /** Payload bytes for clip i, in the row's declared codec: flac rows carry
+    * REAL FLAC streams (from-scratch [[FlacCodec]] — lossless, so the
+    * decode invariant still sees an exact signal); pcm_s16le, and the
+    * still-stubbed lossy opus/mp3 labels, carry the WAV container. */
+  def payloadBytes(i: Long, maxSynthMs: Int): Array[Byte] =
+    if (codec(i) == "flac")
+      FlacCodec.encode(srHz(i),
+        WavCodec.synthSineSamples(freqHz(i), math.min(durMs(i), maxSynthMs), srHz(i)))
+    else referenceBytes(i, maxSynthMs)
+
   /** Build one clean clip. */
   def clip(i: Long, maxSynthMs: Int = 50): Clip =
-    Clip(clipId(i), referenceBytes(i, maxSynthMs), srHz(i), durMs(i),
+    Clip(clipId(i), payloadBytes(i, maxSynthMs), srHz(i), durMs(i),
       codec(i), transcript(i))
 
   /** Error injection per FIXTURES.md §1: null transcript (i%1000==7),
@@ -99,7 +109,10 @@ object ClipsGenerator {
     if (i % 5000 == 13) out = out.copy(sr_hz = 96000)
     if (i % 5000 == 17) out = out.copy(bytes = {
       val b = out.bytes.clone()
-      // zero the back half of the data chunk: decodes fine, SNR collapses
+      // zero the back half of the payload past the header region: WAV rows
+      // decode fine with a collapsed SNR; flac rows hit a frame CRC/sync
+      // mismatch and fail decode (−inf SNR) — either way the invariant
+      // flags exactly these rows
       var k = 44 + (b.length - 44) / 2
       while (k < b.length) { b(k) = 0; k += 1 }
       b

@@ -23,8 +23,11 @@ object OracleTables {
 
   /** Bump when ClipsGenerator's recipe or error injection changes — the
     * path carries it so stale materializations can never silently diverge
-    * from the generator. */
-  val GeneratorVersion = 1
+    * from the generator. v2: flac rows carry real FLAC payloads
+    * (FlacCodec) instead of WAV bytes. v3: FLAC encoder switched to
+    * single-pass order/parameter estimators (same decoded PCM, different
+    * bytes). */
+  val GeneratorVersion = 3
 
   /** All callers use the same synth cap; it is part of the bytes, so it is
     * part of the path. */
