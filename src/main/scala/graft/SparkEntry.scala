@@ -52,7 +52,16 @@ object SparkEntry {
       mode: String): DataFrame = {
     val s = df.sparkSession
     val sink = s"${name}_${System.nanoTime()}"
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-$name").toString
+    // checkpoint on tmpfs when available: the state store snapshots one
+    // entry per key (q35 keys on clip_id — 200k files-worth of sync writes
+    // at sf0.1), and this host throttles syscall-heavy disk I/O (see
+    // BASELINE.md); a real cluster points this at its fast scratch/DFS
+    val ckptBase =
+      if (new java.io.File("/dev/shm").isDirectory) {
+        val d = new java.io.File(s"/dev/shm/graft-ckpt")
+        d.mkdirs(); d.toPath
+      } else java.nio.file.Files.createTempDirectory("graft-ckpt")
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, name).toString
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(sink)
       .option("checkpointLocation", s"$ckpt/ckpt")
