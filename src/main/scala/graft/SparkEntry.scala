@@ -68,7 +68,18 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    // detach the result from the sink so BOTH per-invocation resources can
+    // be released (round-4 review: repeated bench/verify runs would
+    // otherwise accumulate tmpfs checkpoint dirs and driver-held sink
+    // tables). Monitor outputs are summary-sized by design (dup keys,
+    // orphan ids, window rates), so a driver copy is fine.
+    val sinkDf = s.table(sink)
+    val schema = sinkDf.schema
+    val rows = sinkDf.collect()
+    s.catalog.dropTempView(sink)
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+    catch { case _: Exception => () }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The materialized clips table as a file-source STREAM (the ingest shape

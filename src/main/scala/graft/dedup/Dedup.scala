@@ -40,10 +40,16 @@ object Dedup {
     * shuffle-partitions-wide anyway — rebalancing it is not this helper's
     * job. Pinned by DedupSpec's no-job-at-plan-time test. */
   private def ensureParallelism(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Project => LProject}
+    // narrow nodes only, AND no subquery expressions anywhere: a Filter
+    // whose condition embeds a scalar subquery would pass the node-level
+    // shape test yet still execute the subquery stage when AQE finalizes
+    // the plan (round-4 review)
     val scanShaped = df.queryExecution.optimizedPlan.collect { case n => n }
-      .forall(n => n.children.isEmpty ||
-        n.isInstanceOf[LProject] || n.isInstanceOf[LFilter])
+      .forall(n => (n.children.isEmpty ||
+        n.isInstanceOf[LProject] || n.isInstanceOf[LFilter]) &&
+        n.expressions.forall(e => !e.exists(_.isInstanceOf[SubqueryExpression])))
     if (!scanShaped) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism

@@ -31,16 +31,25 @@ object IcebergEmulation {
       "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
     ).isSuccess
 
-  /** Create-if-absent + append through the real Iceberg catalog when the
-    * runtime is present, else the Hive-layout parquet emulation at `path`.
-    * `fqTableName` is the catalog table (e.g. `local.db.clips`); `path` is
-    * the emulation fallback location. Returns the DDL it ran (real path)
-    * or would run (emulated path) so callers can log lineage either way. */
+  /** Write through the real Iceberg catalog when the runtime is present,
+    * else the Hive-layout parquet emulation at `path` — with the SAME
+    * SaveMode semantics on both branches (Overwrite replaces the table,
+    * Append adds rows); a pipeline validated against the emulation must
+    * not change row-visibility behavior in production. `fqTableName` is
+    * the catalog table (e.g. `local.db.clips`); `path` is the emulation
+    * fallback location. Returns the DDL it ran (real path) or would run
+    * (emulated path) so callers can log lineage either way. */
   def writeTable(df: DataFrame, spec: TableSpec, fqTableName: String,
       path: String, mode: SaveMode = SaveMode.Overwrite): String = {
+    require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
+      s"writeTable supports Overwrite/Append, got $mode")
     val ddl = createTableDdl(spec, fqTableName, bucketKey = false)
     if (icebergRuntimeAvailable) {
-      df.sparkSession.sql(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
+      val createSql =
+        if (mode == SaveMode.Overwrite)
+          ddl.replace("CREATE TABLE", "CREATE OR REPLACE TABLE")
+        else ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS")
+      df.sparkSession.sql(createSql)
       df.writeTo(fqTableName).append()
     } else write(df, spec, path, mode)
     ddl

@@ -128,11 +128,18 @@ final case class MultipleOf(v: BigDecimal) extends NullPassing {
   protected def pred(c: Column): Column =
     if (v.isValidLong) (c % Bound.toLit(v)) === lit(0)
     else {
-      import org.apache.spark.sql.types.{DecimalType, StringType}
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
       // try_cast: NaN/Inf/overflow decimal images become NULL (→ the
-      // double-mod fallback) instead of an ANSI CAST_INVALID_INPUT abort
+      // double-mod fallback) instead of an ANSI CAST_INVALID_INPUT abort.
+      // The image is trusted only if it ROUND-TRIPS to the same double:
+      // Decimal(38,18) silently rounds scale (1e-19 → 0E-18, which would
+      // wrongly PASS any divisor), it does not null it; shortest-repr
+      // doubles round-trip exactly whenever no scale was lost, so a
+      // mismatch detects precision loss and falls back to double mod
+      // (1e-19 % 0.5 ≠ 0 ⇒ violation, the Decimal-reference answer).
       val dec = c.cast(StringType).try_cast(DecimalType(38, 18))
-      when(dec.isNotNull, (dec % lit(v.underlying)) === lit(0))
+      when(dec.isNotNull && dec.cast(DoubleType) === c.cast(DoubleType),
+        (dec % lit(v.underlying)) === lit(0))
         .otherwise((c % lit(v.toDouble)) === lit(0))
     }
   override def jsonKey = Some("multipleOf" -> v)

@@ -254,7 +254,11 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 2, sampleSize: Int = 100000): Seq[Seq[Double]] = {
     require(sampleSize >= nCells, s"sampleSize=$sampleSize < nCells=$nCells")
-    var sample = trainingSample(corpus, idCol, vecCol, sampleSize).persist()
+    val ids = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val n = ids.select(col("_id")).count()
+    def sampleWith(k: Long): DataFrame =
+      if (k <= 1L) ids else ids.where(pmod(xxhash64(col("_id")), lit(k)) === 0)
+    var sample = sampleWith(math.max(1L, n / sampleSize)).persist()
     try {
       def seedsFrom(df: DataFrame): Seq[Seq[Double]] = df
         .orderBy(xxhash64(col("_id")), col("_id"))
@@ -265,16 +269,20 @@ object Similarity {
       var seeds = seedsFrom(sample)
       if (seeds.size < nCells) {
         // short sample (nCells close to sampleSize, or a small corpus whose
-        // hash selection landed thin — round-3 advice): fall back to
-        // training on the FULL id/vector projection instead of aborting.
-        // Any corpus small enough to under-fill the sample is small enough
-        // to Lloyd-iterate directly (the sampling exists to avoid full
-        // scans at 10^12 rows, not at 10^4).
+        // hash selection landed thin — round-3 advice): OVERSAMPLE 4×
+        // rather than aborting. Deliberately NOT a fall-back to the full
+        // corpus: at nCells ≈ sampleSize a thin draw happens on roughly
+        // half of runs by binomial variance even on a 10^12-row corpus,
+        // and a full-corpus Lloyd scan there would reinstate the exact
+        // cost the sampling exists to avoid (round-4 review). A 4×
+        // expected surplus puts P(still short) at ~0; on a corpus with
+        // fewer than nCells vectors this degenerates to the full (tiny)
+        // projection and trains k = corpus-size cells — callers size
+        // downstream probes off centroids.size.
         sample.unpersist()
-        sample = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v")).persist()
+        sample = sampleWith(
+          math.max(1L, n / (4L * math.max(sampleSize, nCells)))).persist()
         seeds = seedsFrom(sample)
-        // a corpus with fewer than nCells vectors trains k = corpus size
-        // cells — callers size downstream probes off centroids.size
       }
       (1 to iters).foldLeft(seeds) { (cents, _) =>
         val assigned = sample

@@ -205,6 +205,37 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(AudioCodec.decode(wav, "mp3")._2 === s)
   }
 
+  test("fuzz: seeded-random signals round-trip bit-exact (300 cases)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // signal generator spanning the subframe space: constant / near-constant
+    // (CONSTANT + low-k rice), smooth ramps+sines (FIXED orders), white
+    // noise (high k / verbatim), extreme values, with lengths 16..4000
+    val sigGen: Gen[Array[Short]] = for {
+      n <- Gen.chooseNum(16, 4000)
+      kind <- Gen.chooseNum(0, 4)
+      base <- Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt)
+      seed <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield kind match {
+      case 0 => Array.fill[Short](n)(base.toShort)
+      case 1 => Array.tabulate[Short](n)(i => (base + i % 7 - 3).toShort)
+      case 2 => Array.tabulate[Short](n)(i =>
+        (math.sin(i * 0.05 + base) * 12000).toShort)
+      case 3 => Array.tabulate[Short](n)(i =>
+        (graft.io.ClipsGenerator.mix(seed + i) & 0xFFFF).toShort)
+      case 4 => Array.tabulate[Short](n)(i =>
+        if ((graft.io.ClipsGenerator.mix(seed + i) & 1) == 0) Short.MinValue
+        else Short.MaxValue)
+    }
+    (0 until 300).foreach { c =>
+      sigGen.apply(Gen.Parameters.default, Seed(1234L + c)).foreach { s =>
+        val (sr, got) = FlacCodec.decode(FlacCodec.encode(16000, s))
+        assert(sr === 16000)
+        assert(got === s, s"case $c len=${s.length}")
+      }
+    }
+  }
+
   test("generator flac rows: real FLAC payload, lossless vs the reference PCM") {
     import graft.io.ClipsGenerator
     // find a few flac rows deterministically

@@ -217,6 +217,18 @@ class DedupSpec extends AnyFunSuite {
         assert(p.columns.contains("jaccard")) // plan fully constructed
         p
       } finally sc.clearJobGroup()
+    // subquery hole (round-4 review): a Filter embedding a scalar subquery
+    // is node-level narrow but still executes the subquery stage when AQE
+    // finalizes — the gate must catch it via the expression walk
+    docs.createOrReplaceTempView("aqe_docs")
+    val withSubquery = spark.sql(
+      "SELECT * FROM aqe_docs WHERE doc_id < (SELECT max(doc_id) FROM aqe_docs)")
+    sc.setJobGroup("aqe-safe", "plan-construction job pin (subquery)")
+    try {
+      Dedup.jaccardScores(withSubquery,
+        withSubquery.where(col("doc_id") < 2), "doc_id", "text", threshold = 0.2)
+      ()
+    } finally sc.clearJobGroup()
     Thread.sleep(500) // status store is fed asynchronously
     val jobs = sc.statusTracker.getJobIdsForGroup("aqe-safe")
     assert(jobs.isEmpty,

@@ -42,6 +42,21 @@ class ConstraintBoundsSpec extends AnyFunSuite {
     assert(violators(Seq(1L, 2L).toDF("v"), MultipleOf(0.5)) === Seq())
   }
 
+  test("fractional multipleOf: sub-scale values are not rounded into passing") {
+    // Decimal(38,18) ROUNDS scale rather than nulling: 1e-19 → 0E-18,
+    // which as "0" would wrongly pass any divisor. The round-trip guard
+    // (decimal image must cast back to the same double) detects the loss
+    // and falls back to double mod ⇒ violation, matching Decimal('1E-19')
+    // % Decimal('0.5') != 0.
+    val df = Seq(1e-19, 2.5e-19, 0.5, 0.0).toDF("v")
+    val bad = violators(df, MultipleOf(0.5))
+    assert(bad.toSet === Set(1e-19, 2.5e-19))
+    // 19-significant-fractional-digit values also lose scale; must violate
+    // (Decimal mod of the full-precision value is nonzero)
+    assert(violators(Seq(0.0012345678901234567).toDF("v"),
+      MultipleOf(0.1)) === Seq(0.0012345678901234567))
+  }
+
   test("fractional multipleOf edge inputs: NaN/Inf fall back safely, no NULLs") {
     // NaN/Inf have no decimal image → double-mod fallback: NaN % v = NaN ≠ 0
     // ⇒ violation (a non-numeric duration is never a valid multiple), and
