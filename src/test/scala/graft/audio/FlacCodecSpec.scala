@@ -179,6 +179,38 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(FlacCodec.decode(stream)._2 === samples)
   }
 
+  test("decoder handles LPC subframes") {
+    // order-2 LPC, coefs (2, -1), shift 1: s[i] = r + ((2*s[i-1] - s[i-2]) >> 1)
+    val n = 16
+    val samples = new Array[Short](n)
+    samples(0) = 100; samples(1) = 140
+    val res = Array.tabulate(n - 2)(i => (i % 5 - 2).toLong)
+    (2 until n).foreach { j =>
+      samples(j) = (res(j - 2) + ((2 * samples(j - 1) - samples(j - 2)) >> 1)).toShort
+    }
+    val b = new Bits
+    streamInfo(b, n, 8000, n)
+    val frameStart = b.bytes.length
+    frameHeader(b, n, frameStart)
+    b.put(0, 1); b.put(32 + 1, 6); b.put(0, 1) // LPC, order = (type & 31) + 1 = 2
+    b.put(samples(0).toLong & 0xFFFF, 16) // warmups
+    b.put(samples(1).toLong & 0xFFFF, 16)
+    b.put(4, 4) // precision - 1 = 4 → 5-bit coefficients
+    b.put(1, 5) // shift = 1 (signed 5-bit, positive)
+    b.put(2 & 0x1F, 5) // coef[0] = 2 (applies to s[i-1])
+    b.put(-1 & 0x1F, 5) // coef[1] = -1 (applies to s[i-2])
+    b.put(0, 2); b.put(0, 4); b.put(2, 4) // rice method 0, po 0, k=2
+    res.foreach { v =>
+      val u = (v << 1) ^ (v >> 63)
+      var q = (u >>> 2).toInt
+      while (q > 0) { b.put(0, 1); q -= 1 }
+      b.put(1, 1)
+      b.put(u & 3, 2)
+    }
+    val stream = finishFrame(b, frameStart)
+    assert(FlacCodec.decode(stream)._2 === samples)
+  }
+
   test("decoder honors wasted bits") {
     // CONSTANT subframe, 1 wasted bit: stored value 300 at 15 bits → 600
     val b = new Bits
