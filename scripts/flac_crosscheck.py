@@ -11,11 +11,12 @@ partition order 0) and verifies the sync code, CRC-8, CRC-16, and the
 STREAMINFO MD5 of the decoded samples.
 
 Usage:
-  scripts/flac_crosscheck.py <dir-with-flac-files> | spot-check mode below
-The Scala side dumps payloads via:
-  SPARK_GRAFT_FLAC_DUMP=<dir> (see FlacCodecSpec) — or run the inline
-  spot-check in this repo's verify flow which reads the materialized
-  oracle clips parquet and checks every flac row.
+  scripts/flac_crosscheck.py
+No arguments: it finds the newest/largest materialized oracle clips table
+under /root/repo/target/graft-oracle/ (written by OracleTables.ensure —
+run Verify or any clips query first), decodes every flac row, and compares
+against the re-derived reference signal. Corruption-injected rows must be
+REJECTED by the CRC checks to count as passing.
 """
 import glob
 import hashlib
@@ -224,7 +225,10 @@ def main():
         print("no materialized oracle clips found — run Verify first")
         sys.exit(1)
     clips_dir = dirs[-1]
-    print(f"checking {clips_dir}")
+    # the dir tag carries the synth cap so the reference recipe can never
+    # silently diverge from the materialized bytes
+    max_synth_ms = int(clips_dir.split("/")[-2].split("-ms")[1].split("-")[0])
+    print(f"checking {clips_dir} (maxSynthMs={max_synth_ms})")
     checked = failed = 0
     for f in glob.glob(f"{clips_dir}/*.parquet"):
         t = pq.read_table(f, columns=["clip_id", "bytes", "codec"])
@@ -251,7 +255,7 @@ def main():
                 failed += 1  # corrupted payload decoded without error
                 print(f"CORRUPT ROW DECODED CLEANLY {cid}")
                 continue
-            ref_sr, ref = reference_pcm(i)
+            ref_sr, ref = reference_pcm(i, max_synth_ms)
             ok = sr == ref_sr and got == ref
             checked += 1
             failed += 0 if ok else 1

@@ -2,6 +2,7 @@ package graft.io
 
 import graft.spec.{AliasType, TableSpec}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types._
 
 /** Iceberg-shaped table I/O.
@@ -45,12 +46,15 @@ object IcebergEmulation {
       s"writeTable supports Overwrite/Append, got $mode")
     val ddl = createTableDdl(spec, fqTableName, bucketKey = false)
     if (icebergRuntimeAvailable) {
-      val createSql =
-        if (mode == SaveMode.Overwrite)
-          ddl.replace("CREATE TABLE", "CREATE OR REPLACE TABLE")
-        else ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS")
-      df.sparkSession.sql(createSql)
-      df.writeTo(fqTableName).append()
+      df.sparkSession.sql(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
+      if (mode == SaveMode.Overwrite)
+        // overwriteDynamic-free full replace in ONE snapshot: Iceberg
+        // commits INSERT OVERWRITE (here: unconditional overwrite of all
+        // rows via DataFrameWriterV2.overwrite(true)) atomically — a
+        // two-statement CREATE OR REPLACE + append would expose an empty
+        // table between snapshots and leave it empty on mid-write failure
+        df.writeTo(fqTableName).overwrite(lit(true))
+      else df.writeTo(fqTableName).append()
     } else write(df, spec, path, mode)
     ddl
   }

@@ -131,14 +131,21 @@ final case class MultipleOf(v: BigDecimal) extends NullPassing {
       import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
       // try_cast: NaN/Inf/overflow decimal images become NULL (→ the
       // double-mod fallback) instead of an ANSI CAST_INVALID_INPUT abort.
-      // The image is trusted only if it ROUND-TRIPS to the same double:
-      // Decimal(38,18) silently rounds scale (1e-19 → 0E-18, which would
-      // wrongly PASS any divisor), it does not null it; shortest-repr
-      // doubles round-trip exactly whenever no scale was lost, so a
-      // mismatch detects precision loss and falls back to double mod
-      // (1e-19 % 0.5 ≠ 0 ⇒ violation, the Decimal-reference answer).
-      val dec = c.cast(StringType).try_cast(DecimalType(38, 18))
-      when(dec.isNotNull && dec.cast(DoubleType) === c.cast(DoubleType),
+      // The image is trusted only if it ROUND-TRIPS: Decimal(38,18)
+      // silently rounds scale (1e-19 → 0E-18, which would wrongly PASS any
+      // divisor), it does not null it. Both round-trip sides go through
+      // the STRING rendering — comparing against `c.cast(double)` directly
+      // would widen a FloatType column (0.2f → 0.20000000298…) and
+      // spuriously fail the guard for every float, while the string of a
+      // float is its own shortest repr ("0.2") on both sides. On mismatch:
+      // double mod (1e-19 % 0.5 ≠ 0 ⇒ violation, the Decimal answer).
+      // Known bound: a DECIMAL column with scale > 18 is evaluated at
+      // scale 18 (its string parses to the same double either way, so the
+      // loss is undetectable here) — >18 fractional digits is beyond any
+      // float/double input and beyond the reference's test space.
+      val str = c.cast(StringType)
+      val dec = str.try_cast(DecimalType(38, 18))
+      when(dec.isNotNull && dec.cast(DoubleType) === str.try_cast(DoubleType),
         (dec % lit(v.underlying)) === lit(0))
         .otherwise((c % lit(v.toDouble)) === lit(0))
     }

@@ -228,12 +228,19 @@ object Similarity {
     * boundaries), so the trained centroids are reproducible regardless of
     * how the corpus is partitioned. Exposed for the IvfSpec scan-size
     * assertion. */
+  /** (id, vector) projection + the hash-mod selector — the ONE definition
+    * of the sampling predicate (trainCentroids' oversample retry reuses it
+    * with a smaller modulus). */
+  private def idProjection(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+    corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+  private def hashSample(ids: DataFrame, k: Long): DataFrame =
+    if (k <= 1L) ids else ids.where(pmod(xxhash64(col("_id")), lit(k)) === 0)
+
   private[vector] def trainingSample(corpus: DataFrame, idCol: String,
       vecCol: String, sampleSize: Int): DataFrame = {
-    val ids = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val ids = idProjection(corpus, idCol, vecCol)
     val n = ids.select(col("_id")).count()
-    val k = math.max(1L, n / sampleSize)
-    if (k == 1L) ids else ids.where(pmod(xxhash64(col("_id")), lit(k)) === 0)
+    hashSample(ids, math.max(1L, n / sampleSize))
   }
 
   /** Deterministic coarse-quantizer training on a hash-selected SAMPLE
@@ -247,18 +254,18 @@ object Similarity {
     * collected to the driver. ivfTopK's binning pass stays the only
     * full-corpus assignment. The centroid table is tiny and broadcast
     * everywhere it is used. If the hash-selected sample under-fills the
-    * seed set (tiny corpus / nCells ≈ sampleSize), training falls back to
-    * the full projection instead of aborting; a corpus smaller than nCells
-    * simply trains fewer cells (size downstream probes off
-    * `centroids.size`). */
+    * seed set (tiny corpus / nCells ≈ sampleSize), training retries ONCE
+    * with a 4× oversample — never a full-corpus fallback (a thin draw at
+    * nCells ≈ sampleSize is ~50% likely by binomial variance even on a
+    * huge corpus, and a full scan there would reinstate the cost this
+    * sampling exists to avoid); a corpus smaller than nCells simply trains
+    * fewer cells (size downstream probes off `centroids.size`). */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int, iters: Int = 2, sampleSize: Int = 100000): Seq[Seq[Double]] = {
     require(sampleSize >= nCells, s"sampleSize=$sampleSize < nCells=$nCells")
-    val ids = corpus.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val ids = idProjection(corpus, idCol, vecCol)
     val n = ids.select(col("_id")).count()
-    def sampleWith(k: Long): DataFrame =
-      if (k <= 1L) ids else ids.where(pmod(xxhash64(col("_id")), lit(k)) === 0)
-    var sample = sampleWith(math.max(1L, n / sampleSize)).persist()
+    var sample = hashSample(ids, math.max(1L, n / sampleSize)).persist()
     try {
       def seedsFrom(df: DataFrame): Seq[Seq[Double]] = df
         .orderBy(xxhash64(col("_id")), col("_id"))
@@ -280,7 +287,7 @@ object Similarity {
         // projection and trains k = corpus-size cells — callers size
         // downstream probes off centroids.size.
         sample.unpersist()
-        sample = sampleWith(
+        sample = hashSample(ids,
           math.max(1L, n / (4L * math.max(sampleSize, nCells)))).persist()
         seeds = seedsFrom(sample)
       }

@@ -57,6 +57,16 @@ class ConstraintBoundsSpec extends AnyFunSuite {
       MultipleOf(0.1)) === Seq(0.0012345678901234567))
   }
 
+  test("fractional multipleOf on FLOAT columns (round-trip guard must not widen)") {
+    // 0.2f widened to double is 0.20000000298… — a guard comparing against
+    // c.cast(double) directly would spuriously fail and flag every float.
+    // The string-routed compare sees "0.2" on both sides, so Decimal("0.2")
+    // % 0.1 == 0 ⇒ pass, matching the reference's Decimal(str(x)) answer.
+    val df = Seq(0.2f, 0.3f, 0.25f).toDF("v")
+    assert(violators(df, MultipleOf(0.1)) === Seq(0.25f))
+    assert(violators(df, MultipleOf(0.05)) === Seq())
+  }
+
   test("fractional multipleOf edge inputs: NaN/Inf fall back safely, no NULLs") {
     // NaN/Inf have no decimal image → double-mod fallback: NaN % v = NaN ≠ 0
     // ⇒ violation (a non-numeric duration is never a valid multiple), and
