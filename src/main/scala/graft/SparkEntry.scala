@@ -44,12 +44,17 @@ object SparkEntry {
     else if (dir.contains("sf0.01")) 20000L
     else 5000L
 
+  /** Ceiling on rows the streaming-sink detach will copy to the driver —
+    * far above any monitor output (q35-q37 emit 4-20 rows at sf0.01), far
+    * below driver-OOM territory. */
+  val MaxStreamingSinkRows = 1000000L
+
   /** Drain a streaming DataFrame through Trigger.AvailableNow into a memory
     * sink and return the sink table — how the q35-q37 streaming queries
     * produce a finite, oracle-comparable result. Sink name and checkpoint
     * are per-invocation (a bench session may run the query after verify). */
-  private def runAvailableNow(df: DataFrame, name: String,
-      mode: String): DataFrame = {
+  private[graft] def runAvailableNow(df: DataFrame, name: String,
+      mode: String, maxRows: Long = MaxStreamingSinkRows): DataFrame = {
     val s = df.sparkSession
     val sink = s"${name}_${System.nanoTime()}"
     // checkpoint on tmpfs when available: the state store snapshots one
@@ -75,11 +80,26 @@ object SparkEntry {
     // orphan ids, window rates), so a driver copy is fine.
     val sinkDf = s.table(sink)
     val schema = sinkDf.schema
-    val rows = sinkDf.collect()
-    s.catalog.dropTempView(sink)
-    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
-    catch { case _: Exception => () }
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // driver-copy guard (round-4 verdict #7): this detach is sized for
+    // SUMMARY outputs (dup keys, orphan ids, window rates). The memory sink
+    // already holds the rows on the driver, but the extra copy below would
+    // double that; fail loudly if a future query routes a row-scale result
+    // through here instead of silently becoming a driver-OOM path.
+    try {
+      val sinkRows = sinkDf.count()
+      require(sinkRows <= maxRows,
+        s"runAvailableNow($name): sink holds $sinkRows rows > " +
+          s"$maxRows — streaming monitor outputs must be " +
+          "summary-sized; write row-scale results to a file sink instead")
+      val rows = sinkDf.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      // cleanup runs on the guard path too — a failed invocation must not
+      // leak the tmpfs checkpoint dir or the driver-held sink table
+      s.catalog.dropTempView(sink)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      catch { case _: Exception => () }
+    }
   }
 
   /** The materialized clips table as a file-source STREAM (the ingest shape

@@ -123,9 +123,21 @@ object CastPlanner {
     // by representation, so they pass the `% 1` guard — but the
     // Decimal(38,0) parse inside rangeChecked would then throw Spark's
     // generic ANSI CAST_OVERFLOW instead of the library's range error.
-    // Pre-guard the magnitude: every hint range tops out at uint64
-    // (~1.8e19 < 1e38), so |x| ≥ 1e38 is always out of range. Decimal
-    // sources can't hit this (a Decimal(38,s) value always fits 38 digits).
+    // Pre-guard the magnitude at `>= 1e38` — this is EXACTLY Spark's
+    // Decimal(38,0) overflow boundary under its double→decimal semantics
+    // (round-4 advice investigated and rejected): Spark casts a double to
+    // decimal through its SHORTEST DECIMAL RENDERING (Decimal(doubleValue)
+    // parses Double.toString), so double(1e38) is "1.0E38" = 10^38 — 39
+    // digits, overflows Decimal(38,0) and is outside even int128's
+    // ±(10^38−1) — while nextDown(1e38) renders as 9.999999999999999e37,
+    // 38 digits, in range. The advice's premise (that the binary-exact
+    // value ~9.9999999999999998e37 is what the decimal parse sees) does
+    // not hold in Spark; a strict `>` here would route double(1e38) into
+    // rangeChecked's Decimal(38,0) parse and resurface the generic ANSI
+    // CAST_OVERFLOW this guard exists to replace. Shortest-repr is also
+    // the engine-wide convention for reading floats (see
+    // Constraint.MultipleOf). Decimal sources can't hit this (a
+    // Decimal(38,s) value always fits 38 digits).
     val floatSrc = src == FloatType || src == DoubleType
     val rangeGuarded =
       if (!floatSrc) rangeChecked

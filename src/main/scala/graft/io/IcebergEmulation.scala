@@ -46,15 +46,33 @@ object IcebergEmulation {
       s"writeTable supports Overwrite/Append, got $mode")
     val ddl = createTableDdl(spec, fqTableName, bucketKey = false)
     if (icebergRuntimeAvailable) {
-      df.sparkSession.sql(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
-      if (mode == SaveMode.Overwrite)
-        // overwriteDynamic-free full replace in ONE snapshot: Iceberg
-        // commits INSERT OVERWRITE (here: unconditional overwrite of all
-        // rows via DataFrameWriterV2.overwrite(true)) atomically — a
-        // two-statement CREATE OR REPLACE + append would expose an empty
-        // table between snapshots and leave it empty on mid-write failure
-        df.writeTo(fqTableName).overwrite(lit(true))
-      else df.writeTo(fqTableName).append()
+      if (mode == SaveMode.Overwrite) {
+        // Overwrite = full table replace in ONE atomic commit, INCLUDING
+        // schema: `createOrReplace()` on the V2 writer is a single Iceberg
+        // snapshot swap (REPLACE TABLE ... AS SELECT), so (a) a pre-existing
+        // table with a drifted schema is reconciled to the spec instead of
+        // silently keeping its stale columns (round-4 advice), and (b) no
+        // reader ever observes an empty table between statements and a
+        // mid-write failure leaves the previous snapshot intact — unlike
+        // the two-statement CREATE OR REPLACE + append it replaces.
+        val w = df.writeTo(fqTableName).using("iceberg")
+        (spec.partitionCols.map(org.apache.spark.sql.functions.col) match {
+          case Seq() => w
+          case Seq(p, rest @ _*) => w.partitionedBy(p, rest: _*)
+        }).createOrReplace()
+      } else {
+        // Append keeps the existing table; guard against schema drift
+        // BEFORE writing (Iceberg would reject an incompatible append
+        // mid-commit with a low-level error; the library's own schema
+        // validator gives the reference's error taxonomy instead).
+        df.sparkSession.sql(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
+        val errs = graft.schema.SchemaValidator.validateSchema(
+          spec, df.sparkSession.table(fqTableName).schema)
+        require(errs.isEmpty,
+          s"append to $fqTableName blocked by schema drift: " +
+            errs.map(_.errorDetails).mkString("; "))
+        df.writeTo(fqTableName).append()
+      }
     } else write(df, spec, path, mode)
     ddl
   }

@@ -107,13 +107,18 @@ final case class ExclusiveMaximum(v: BigDecimal) extends NullPassing {
   override def jsonKey = Some("exclusiveMaximum" -> v)
 }
 
-/** value % v == 0 — JSON-schema `multipleOf` (`core/types.py:66-71`, which
-  * divides arbitrary numerics with Decimal arithmetic: `5 % Decimal('2.5')
-  * == 0`). Integral divisors keep the exact integer remainder. Fractional
-  * divisors take the remainder in DECIMAL arithmetic, matching the
-  * reference: double remainder is wrong there (`0.3 % 0.1` is nonzero in
-  * binary floating point, so it would flag 0.3 as a violation of
-  * MultipleOf(0.1) where Decimal passes it). The value reaches the decimal
+/** value % v == 0 — JSON-schema `multipleOf`. The reference never enforces
+  * this on DATA at all (SURVEY.md §2.5: constraint keys are compared
+  * schema-vs-schema only); its closest analog is the schema-compat
+  * superset check `core/types.py:66-71`, which takes the remainder of the
+  * two SCHEMA values in Decimal arithmetic (`r % Decimal(str(l)) == 0`).
+  * This row-level check — a north-rule extension — adopts the same
+  * Decimal-exact arithmetic for row values, which is also what a Python
+  * validator doing `Decimal(str(x)) % Decimal(str(v))` would compute.
+  * Integral divisors keep the exact integer remainder. Fractional divisors
+  * take the remainder in DECIMAL arithmetic: double remainder is wrong
+  * there (`0.3 % 0.1` is nonzero in binary floating point, so it would
+  * flag 0.3 as a violation of MultipleOf(0.1) where Decimal passes it). The value reaches the decimal
   * mod through its shortest decimal rendering (Spark's double→string emits
   * "0.3", exactly what Python's Decimal(str(x)) would see) — casting the
   * double BITS to decimal directly would either round 0.35→0.4 at the

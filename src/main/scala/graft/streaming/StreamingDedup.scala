@@ -39,6 +39,26 @@ object StreamingDedup {
 
   final case class KeyCount(key: String, dup_count: Long)
 
+  /** Single-pass (count, max event-time ms) over a key's batch iterator —
+    * ITERATOR-ONLY by contract (round-4 verdict #2): a hot fingerprint key
+    * (boilerplate text) can carry millions of rows in one micro-batch, so
+    * this fold must never buffer the batch (the old `rows.toSeq` was an
+    * executor-memory cliff). O(1) memory regardless of key skew; pinned by
+    * StreamingDedupSpec's mutable-timestamp iterator test, which a
+    * buffering implementation fails deterministically. */
+  private[streaming] def foldBatch(
+      rows: Iterator[(String, java.sql.Timestamp)]): (Long, Long) = {
+    var batchCount = 0L
+    var lastEventMs = Long.MinValue
+    while (rows.hasNext) {
+      val r = rows.next()
+      batchCount += 1
+      val t = r._2.getTime
+      if (t > lastEventMs) lastEventMs = t
+    }
+    (batchCount, lastEventMs)
+  }
+
   /** Running duplicate counter per key (e.g. content fingerprint): emits
     * (key, dup_count) whenever a key's count grows past 1 — a live
     * duplicate-rate monitor. State: one Long per live key, dropped once the
@@ -70,14 +90,13 @@ object StreamingDedup {
           state.remove()
           Iterator.empty
         } else {
-          val batch = rows.toSeq
+          val (batchCount, lastEventMs) = foldBatch(rows)
           val prev = state.getOption.getOrElse(0L)
-          val next = prev + batch.size
+          val next = prev + batchCount
           state.update(next)
           // idle horizon anchored to the key's LAST EVENT (not the
           // watermark: a watermark-anchored timer set while the watermark
           // is still 0 expires the key the moment real event times arrive)
-          val lastEventMs = batch.map(_._2.getTime).max
           state.setTimeoutTimestamp(
             math.max(lastEventMs + idleHorizonMs,
               state.getCurrentWatermarkMs() + 1000L))

@@ -291,6 +291,15 @@ object Similarity {
           math.max(1L, n / (4L * math.max(sampleSize, nCells)))).persist()
         seeds = seedsFrom(sample)
       }
+      if (seeds.size < nCells)
+        // intentional degradation (corpus smaller than nCells, or a doubly
+        // thin draw) but surprising downstream: callers that size nprobe to
+        // the REQUESTED nCells hit ivfTopK's `nprobe <= nCells` require
+        // with no hint why — make the shrink visible (round-4 advice)
+        org.apache.log4j.Logger.getLogger(getClass).warn(
+          s"trainCentroids: trained ${seeds.size} cells (< requested " +
+            s"$nCells) — corpus/sample too thin; size nprobe off the " +
+            "returned centroids.size")
       (1 to iters).foldLeft(seeds) { (cents, _) =>
         val assigned = sample
           .select(col("_v"))

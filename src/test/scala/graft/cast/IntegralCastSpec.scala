@@ -152,4 +152,26 @@ class IntegralCastSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("str_to_uint64: value out of range")),
       s"got: ${msgs(e).mkString(" | ")}")
   }
+  test("the 1e38 pre-guard boundary matches Spark's shortest-repr decimal cast (r4 advice)") {
+    // Spark casts double→decimal through the SHORTEST DECIMAL RENDERING:
+    // double(1e38) is "1.0E38" = 10^38 (39 digits — overflows Decimal(38,0)
+    // and exceeds int128's ±(10^38−1)), so it must get the LIBRARY range
+    // error from the `>=` pre-guard, not Spark's generic CAST_OVERFLOW…
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception] {
+      hintedFromNumeric("int128", Seq(1e38).toDF("value"))
+    }
+    assert(msgs(e).exists(_.contains("str_to_int128: value out of range")),
+      s"got: ${msgs(e).mkString(" | ")}")
+    // …while nextDown(1e38) renders as 9.999999999999999e37 — 38 digits,
+    // fits Decimal(38,0), inside int128's range — and must cast cleanly
+    // (a `>` guard would be wrong one way; `>=` with the binary-exact-value
+    // premise would be wrong the other).
+    val below = math.nextDown(1e38)
+    val ok = hintedFromNumeric("int128", Seq(below).toDF("value"))
+    assert(ok.map(_.toString) ===
+      Seq(new java.math.BigDecimal(java.lang.Double.toString(below))
+        .toBigInteger.toString))
+  }
 }

@@ -78,4 +78,21 @@ class StreamingDedupSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(out === Set(("x", 2L), ("x", 3L)))
   }
+
+  test("foldBatch is iterator-only: never buffers the key's batch (r4 verdict #2)") {
+    // The pin: the iterator re-yields the SAME mutable Timestamp object,
+    // re-set before each yield. A single-pass fold reads each event time at
+    // yield time and finds the true max (9); any implementation that
+    // buffers the batch first (the old rows.toSeq) sees N references to one
+    // object holding the FINAL value and reports 3 — deterministic failure.
+    val shared = new Timestamp(0L)
+    val times = Seq(5L, 9L, 3L)
+    val it = times.iterator.map { t => shared.setTime(t); ("k", shared) }
+    val (count, maxMs) = StreamingDedup.foldBatch(it)
+    assert(count === 3L)
+    assert(maxMs === 9L)
+    // empty batch (hasTimedOut callbacks never reach the fold, but the
+    // helper's contract is total): count 0, sentinel max
+    assert(StreamingDedup.foldBatch(Iterator.empty) === ((0L, Long.MinValue)))
+  }
 }

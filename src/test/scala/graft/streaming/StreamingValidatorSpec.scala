@@ -105,4 +105,20 @@ class StreamingValidatorSpec extends AnyFunSuite {
       catalog, Seq("user_id")).collect().map(_.getLong(0)).toSet
     assert(batchOrphans === Set(7L, 9L))
   }
+
+  test("runAvailableNow guard: row-scale sink output fails loudly (r4 verdict #7)") {
+    // the memory-sink detach is sized for summary outputs; a future query
+    // routing row-scale results through it must hit the guard, not a
+    // silent driver-OOM path
+    def stream = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .select(col("event_id"))
+    val e = intercept[IllegalArgumentException] {
+      graft.SparkEntry.runAvailableNow(stream, "guardtest", "append", maxRows = 5)
+    }
+    assert(e.getMessage.contains("summary-sized"))
+    // under the ceiling the detach returns the full result
+    val n = spark.read.schema(eventsSchema).parquet(eventsDir).count()
+    val ok = graft.SparkEntry.runAvailableNow(stream, "guardok", "append")
+    assert(ok.count() === n)
+  }
 }
