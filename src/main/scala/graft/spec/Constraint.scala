@@ -179,7 +179,7 @@ final case class Pattern(regex: String) extends NullPassing {
 }
 
 /** value ∈ values — JSON-schema `enum`. Spec-level vocabulary check
-  * (e.g. codec ∈ {pcm_s16le, flac, opus, mp3} per FIXTURES.md §1). */
+  * (e.g. codec ∈ {pcm_s16le, flac, pcm_mulaw, pcm_alaw} per FIXTURES.md §1). */
 final case class InSet(values: Seq[Any]) extends NullPassing {
   val id = "in_set"
   protected def pred(c: Column): Column = c.isin(values: _*)

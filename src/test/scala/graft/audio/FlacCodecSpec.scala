@@ -226,15 +226,24 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(got === Array.fill[Short](16)(600))
   }
 
-  test("AudioCodec dispatch: flac is the real decoder, opus/mp3 stay WAV stubs") {
+  test("AudioCodec dispatch: every label routes to its own real decoder") {
     val s = sine(330.0, 25, 22050)
     val flacBytes = FlacCodec.encode(22050, s)
     val (sr, got) = AudioCodec.decode(flacBytes, "flac")
     assert(sr === 22050 && got === s)
-    // flac bytes under the stub labels must NOT parse (they are not WAV)
-    intercept[Exception](AudioCodec.decode(flacBytes, "opus"))
-    val wav = WavCodec.synthSine(330.0, 25, 22050)
-    assert(AudioCodec.decode(wav, "mp3")._2 === s)
+    // bytes of one codec under another codec's label must NOT parse —
+    // each container/format check rejects foreign bytes loudly
+    intercept[Exception](AudioCodec.decode(flacBytes, "pcm_mulaw"))
+    intercept[Exception](AudioCodec.decode(flacBytes, "pcm_s16le"))
+    intercept[Exception](
+      AudioCodec.decode(G711Codec.encodeMuLaw(22050, s), "pcm_alaw"))
+    intercept[Exception](
+      AudioCodec.decode(WavCodec.synthSine(330.0, 25, 22050), "adpcm_ima"))
+    // the retired stub labels are gone, not silently WAV-parsed
+    intercept[IllegalArgumentException](
+      AudioCodec.decode(WavCodec.synthSine(330.0, 25, 22050), "mp3"))
+    intercept[IllegalArgumentException](
+      AudioCodec.decode(WavCodec.synthSine(330.0, 25, 22050), "opus"))
   }
 
   test("fuzz: seeded-random signals round-trip bit-exact (300 cases)") {

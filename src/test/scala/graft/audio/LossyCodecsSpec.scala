@@ -1,0 +1,176 @@
+package graft.audio
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-scratch lossy codecs: ITU-T G.711 µ-law/A-law and IMA 4-bit ADPCM
+  * (round-4 verdict #3 — the invariant's sub-30 dB failure path was
+  * previously only reachable via corrupt bytes; clean lossy rows now
+  * exercise the finite-SNR region between threshold and cap). */
+class LossyCodecsSpec extends AnyFunSuite {
+
+  private def sine(f: Double, ms: Int, sr: Int) =
+    WavCodec.synthSineSamples(f, ms, sr)
+
+  // ---- G.711 canonical code points (ITU-T G.711 tables / the classic
+  // public-domain reference implementation's values)
+
+  test("µ-law canonical values: zero, full-scale, negative full-scale") {
+    assert(G711Codec.linearToMuLaw(0) === 0xFF.toByte)
+    assert(G711Codec.muLawToLinear(0xFF.toByte) === 0)
+    assert(G711Codec.linearToMuLaw(Short.MaxValue) === 0x80.toByte)
+    assert(G711Codec.muLawToLinear(0x80.toByte) === 32124)
+    assert(G711Codec.linearToMuLaw(Short.MinValue) === 0x00.toByte)
+    assert(G711Codec.muLawToLinear(0x00.toByte) === -32124)
+  }
+
+  test("A-law canonical values: zero code 0xD5, full-scale decode ±32256") {
+    assert(G711Codec.linearToALaw(0) === 0xD5.toByte)
+    // A-law is mid-riser: the zero code decodes to +8, not 0
+    assert(G711Codec.aLawToLinear(0xD5.toByte) === 8)
+    assert(G711Codec.aLawToLinear(0xAA.toByte) === 32256)
+    assert(G711Codec.aLawToLinear(0x2A.toByte) === -32256)
+    assert(G711Codec.linearToALaw(Short.MaxValue) === 0xAA.toByte)
+  }
+
+  test("µ-law code idempotence: encode(decode(b)) == b for all codes but -0") {
+    // every decoded quantization level must re-encode to its own code —
+    // the strongest self-consistency check of the segment/mantissa layout.
+    // The one exception is 0x7F ("negative zero"), which decodes to 0 and
+    // re-encodes to the positive zero code 0xFF (a G.711 fact, not a bug).
+    (0 to 255).filter(_ != 0x7F).foreach { b =>
+      val lvl = G711Codec.muLawToLinear(b.toByte)
+      assert(G711Codec.linearToMuLaw(lvl) === b.toByte, s"code $b level $lvl")
+    }
+    assert(G711Codec.linearToMuLaw(G711Codec.muLawToLinear(0x7F.toByte)) ===
+      0xFF.toByte)
+  }
+
+  test("A-law code idempotence: encode(decode(b)) == b for all 256 codes") {
+    (0 to 255).foreach { b =>
+      val lvl = G711Codec.aLawToLinear(b.toByte)
+      assert(G711Codec.linearToALaw(lvl) === b.toByte, s"code $b level $lvl")
+    }
+  }
+
+  // ---- SNR floors over the generator's parameter space (the q25 oracle
+  // depends on every CLEAN row clearing the 30 dB invariant; full-space
+  // sweep measured mins: µ-law 33.83 dB, A-law 34.94 dB, both at the
+  // worst f/sr=0.125 combos — asserted here on the extreme corners)
+
+  private val corners = for {
+    sr <- Seq(8000, 16000, 22050, 44100, 48000)
+    f <- Seq(220.0, 660.0, 997.0, 1000.0, 1099.0)
+    cap <- Seq(25, 50)
+  } yield (f, cap, sr)
+
+  test("G.711 clean-signal SNR is finite, sub-cap, and above the 30 dB invariant") {
+    corners.foreach { case (f, cap, sr) =>
+      val ref = sine(f, cap, sr)
+      val mu = WavCodec.snrDb(ref, G711Codec.decodeMuLaw(
+        G711Codec.encodeMuLaw(sr, ref))._2)
+      val al = WavCodec.snrDb(ref, G711Codec.decodeALaw(
+        G711Codec.encodeALaw(sr, ref))._2)
+      assert(mu >= 33.0 && mu < WavCodec.MaxSnrDb, s"mulaw f=$f sr=$sr: $mu dB")
+      assert(al >= 34.0 && al < WavCodec.MaxSnrDb, s"alaw f=$f sr=$sr: $al dB")
+    }
+  }
+
+  test("IMA ADPCM is real but too lossy for this generator's invariant (documented)") {
+    // why adpcm_ima is NOT a ClipsGenerator label: at the generator's worst
+    // f/sr the codec's step-adaptation lag lands far under the 30 dB
+    // threshold (clean rows would read as corrupt)...
+    val hard = sine(997.0, 25, 8000)
+    val hardSnr = WavCodec.snrDb(hard,
+      AdpcmCodec.decode(AdpcmCodec.encode(8000, hard))._2)
+    assert(hardSnr < 30.0, s"expected sub-invariant SNR, got $hardSnr")
+    // ...while on easy (low f/sr) content it performs like the textbook
+    // codec it is — the implementation, not the content, is the variable
+    val easy = sine(220.0, 50, 48000)
+    val easySnr = WavCodec.snrDb(easy,
+      AdpcmCodec.decode(AdpcmCodec.encode(48000, easy))._2)
+    assert(easySnr >= 30.0 && easySnr < WavCodec.MaxSnrDb,
+      s"expected >=30 dB on easy content, got $easySnr")
+  }
+
+  // ---- container / geometry properties
+
+  test("ADPCM multi-block round-trip with fact-count trim") {
+    // 48 kHz × 50 ms = 2400 samples = 4 full blocks + a partial (505/block):
+    // the fact chunk must trim the decoder to the exact sample count
+    val ref = sine(440.0, 50, 48000)
+    assert(ref.length === 2400)
+    val (sr, got) = AdpcmCodec.decode(AdpcmCodec.encode(48000, ref))
+    assert(sr === 48000)
+    assert(got.length === ref.length)
+    // first sample of every block is stored verbatim in the block header
+    assert(got(0) === ref(0))
+    assert(got(AdpcmCodec.SamplesPerBlock) === ref(AdpcmCodec.SamplesPerBlock))
+  }
+
+  test("ADPCM empty and single-sample signals round-trip") {
+    assert(AdpcmCodec.decode(AdpcmCodec.encode(8000, Array.empty[Short]))._2
+      === Array.empty[Short])
+    assert(AdpcmCodec.decode(AdpcmCodec.encode(8000, Array[Short](1234)))._2
+      === Array[Short](1234))
+  }
+
+  test("G.711 containers carry sample rate and exact length") {
+    for (sr <- Seq(8000, 48000)) {
+      val ref = sine(300.0, 25, sr)
+      val (gotSr, got) = G711Codec.decodeMuLaw(G711Codec.encodeMuLaw(sr, ref))
+      assert(gotSr === sr && got.length === ref.length)
+    }
+  }
+
+  // ---- corruption must fail loudly or collapse the SNR — never decode to
+  // plausible silence (the generator's zero-back-half injection rides on
+  // these properties)
+
+  test("zeroed back half of a µ-law payload collapses SNR far below threshold") {
+    val ref = sine(440.0, 25, 16000)
+    val bytes = G711Codec.encodeMuLaw(16000, ref)
+    var k = 44 + (bytes.length - 44) / 2 // the ClipsGenerator injection shape
+    val bad = bytes.clone()
+    while (k < bad.length) { bad(k) = 0; k += 1 }
+    // µ-law 0x00 decodes to -32124: the zeroed tail is near-full-scale
+    // garbage, not silence
+    val snr = WavCodec.snrDb(ref, G711Codec.decodeMuLaw(bad)._2)
+    assert(snr < 0.0, s"expected deeply negative SNR, got $snr")
+  }
+
+  test("foreign or mangled containers are rejected") {
+    val ref = sine(440.0, 25, 16000)
+    val mu = G711Codec.encodeMuLaw(16000, ref)
+    // wrong codec's bytes
+    intercept[Exception](G711Codec.decodeALaw(mu))
+    intercept[Exception](AdpcmCodec.decode(mu))
+    intercept[Exception](G711Codec.decodeMuLaw(WavCodec.synthSine(440.0, 25, 16000)))
+    // truncated data chunk
+    intercept[Exception](G711Codec.decodeMuLaw(mu.dropRight(7)))
+    // not RIFF at all
+    intercept[Exception](G711Codec.decodeMuLaw(Array[Byte](1, 2, 3)))
+  }
+
+  test("ADPCM malformed block headers are rejected") {
+    val ref = sine(440.0, 25, 16000)
+    val ok = AdpcmCodec.encode(16000, ref)
+    // find the data chunk: last occurrence of 'data' tag
+    def dataOffset(b: Array[Byte]): Int = {
+      var i = b.length - 5
+      while (!(b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a')) i -= 1
+      i + 8
+    }
+    val off = dataOffset(ok)
+    // step index out of range (byte 2 of the block header)
+    val badIdx = ok.clone(); badIdx(off + 2) = 99.toByte
+    intercept[Exception](AdpcmCodec.decode(badIdx))
+    // nonzero reserved byte
+    val badRes = ok.clone(); badRes(off + 3) = 1.toByte
+    intercept[Exception](AdpcmCodec.decode(badRes))
+    // data no longer a whole number of blocks
+    intercept[Exception] {
+      val p = ok.dropRight(1)
+      AdpcmCodec.decode(p)
+    }
+  }
+}

@@ -133,17 +133,17 @@ class ClipsPipelineSpec extends AnyFunSuite {
     // first run: all 4 codec partitions pending
     val done1 = ManifestCheckpoint.runResumable(spark, df, ClipsGenerator.spec,
       manifestDir, outDir)
-    assert(done1.toSet === Set("pcm_s16le", "flac", "opus", "mp3"))
+    assert(done1.toSet === Set("pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw"))
     // second run: nothing pending (idempotent resume)
     val done2 = ManifestCheckpoint.runResumable(spark, df, ClipsGenerator.spec,
       manifestDir, outDir)
     assert(done2.isEmpty)
     // content change in ONE partition → only it re-runs
-    val changed = df.where($"codec" =!= "mp3")
-      .unionByName(df.where($"codec" === "mp3").limit(100))
+    val changed = df.where($"codec" =!= "pcm_alaw")
+      .unionByName(df.where($"codec" === "pcm_alaw").limit(100))
     val done3 = ManifestCheckpoint.runResumable(spark, changed,
       ClipsGenerator.spec, manifestDir, outDir)
-    assert(done3 === Seq("mp3"))
+    assert(done3 === Seq("pcm_alaw"))
     // manifest carries metrics + lineage
     val m = ManifestCheckpoint.latestEntries(
       spark.read.parquet(manifestDir))

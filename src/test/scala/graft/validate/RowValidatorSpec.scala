@@ -132,7 +132,7 @@ class RowValidatorSpec extends AnyFunSuite {
       ColumnSpec("dur_ms", IntegerType,
         constraints = Seq(ExclusiveMinimum(0), Maximum(30000))),
       ColumnSpec("codec", StringType,
-        constraints = Seq(InSet(Seq("pcm_s16le", "flac", "opus", "mp3"))))),
+        constraints = Seq(InSet(Seq("pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw"))))),
       keyCols = Seq("clip_id"), partitionCols = Seq("codec"))
 
     val df = Seq(
