@@ -67,6 +67,17 @@ object SparkEntry {
         d.mkdirs(); d.toPath
       } else java.nio.file.Files.createTempDirectory("graft-ckpt")
     val ckpt = java.nio.file.Files.createTempDirectory(ckptBase, name).toString
+    // state-store backend (round-4 verdict #5): RocksDB is the DEFAULT —
+    // measured faster than the HDFS-backed provider for these monitors on
+    // this host (q35 at sf0.1, 200k keys in one batch: 2.5-3.0 s vs
+    // 3.8-4.4 s min-of-3 across two draws each; q37 equal-or-better —
+    // numbers in BASELINE.md), and it is also the standard cluster
+    // recommendation for large state (millions of live keys don't live on
+    // the executor heap). SPARK_GRAFT_STATESTORE=hdfs restores Spark's
+    // built-in default for comparison runs.
+    if (!sys.env.get("SPARK_GRAFT_STATESTORE").contains("hdfs"))
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val q = df.writeStream.outputMode(mode)
       .format("memory").queryName(sink)
       .option("checkpointLocation", s"$ckpt/ckpt")
@@ -381,6 +392,31 @@ object SparkEntry {
     "q22_clips_unique" -> ((s, dir) =>
       UniquenessCheck.duplicateKeys(OracleTables.clips(s, clipCount(dir)),
         Seq("clip_id"))),
+
+    // Salted two-phase uniqueness (round-4 verdict #6: the skew weapon was
+    // unit-pinned but never driver-gated): partial counts on (key, salt)
+    // then a final sum per key — bounded per-reducer load even when one
+    // key dominates a quadrillion rows. Must equal q22's plain groupBy
+    // exactly; shares its oracle.
+    "q38_clips_unique_salted" -> ((s, dir) =>
+      UniquenessCheck.duplicateKeysSalted(OracleTables.clips(s, clipCount(dir)),
+        Seq("clip_id"))),
+
+    // Uniqueness over the BUCKETED emulated-Iceberg table (round-4 verdict
+    // #6): the bucket(n, clip_id) transform realized via native
+    // bucketBy+sortBy means the groupBy-count reads pre-hash-partitioned
+    // files and needs ZERO exchanges (PlanShapeSpec pins the plan; this
+    // query driver-gates the VALUES). Written once per session + scale —
+    // bench reps and repeated calls reuse the catalog table.
+    "q39_clips_unique_bucketed" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val tbl = s"graft_clips_bucketed_$n"
+      if (!s.catalog.tableExists(tbl))
+        graft.io.IcebergEmulation.writeBucketed(
+          OracleTables.clips(s, n), ClipsGenerator.spec, tbl, buckets = 16,
+          path = Some(s"/root/repo/target/graft-bucketed/n$n"))
+      UniquenessCheck.duplicateKeys(s.table(tbl), Seq("clip_id"))
+    }),
 
     // Referential integrity vs the transcript catalog (broadcast semi-join)
     "q23_clips_ref_orphans" -> ((s, dir) => {
@@ -839,6 +875,16 @@ object SparkEntry {
          | WHERE transcript IS NOT NULL AND NOT (length(transcript) >= 1)""".stripMargin,
 
     "q22_clips_unique" ->
+      s"""SELECT clip_id, COUNT(*) AS dup_count FROM $clips
+         |GROUP BY clip_id HAVING COUNT(*) > 1""".stripMargin,
+
+    // the salted two-phase aggregate and the bucketed-table groupBy are
+    // alternate PHYSICAL plans for the same logical count — both must
+    // reproduce the plain duplicate scan exactly
+    "q38_clips_unique_salted" ->
+      s"""SELECT clip_id, COUNT(*) AS dup_count FROM $clips
+         |GROUP BY clip_id HAVING COUNT(*) > 1""".stripMargin,
+    "q39_clips_unique_bucketed" ->
       s"""SELECT clip_id, COUNT(*) AS dup_count FROM $clips
          |GROUP BY clip_id HAVING COUNT(*) > 1""".stripMargin,
 

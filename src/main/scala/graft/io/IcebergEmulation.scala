@@ -134,14 +134,18 @@ object IcebergEmulation {
     * catalog; on a real cluster the same write goes through the Iceberg
     * catalog DDL instead. */
   def writeBucketed(df: DataFrame, spec: TableSpec, tableName: String,
-      buckets: Int = 256, mode: SaveMode = SaveMode.Overwrite): Unit = {
+      buckets: Int = 256, mode: SaveMode = SaveMode.Overwrite,
+      path: Option[String] = None): Unit = {
     require(spec.keyCols.nonEmpty, "bucketed write needs a key column")
     val key = spec.keyCols.head
-    df.write.mode(mode)
+    val w = df.write.mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
-      .saveAsTable(tableName)
+    // explicit path ⇒ an EXTERNAL bucketed table (data outside the session
+    // warehouse dir — e.g. under target/ so repeated driver runs don't
+    // grow the repo tree); metadata still lives in the session catalog
+    path.fold(w)(p => w.option("path", p)).saveAsTable(tableName)
   }
 
   /** Read with the spec's schema — the emulation of Iceberg's
