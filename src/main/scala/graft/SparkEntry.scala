@@ -476,6 +476,30 @@ object SparkEntry {
         .drop("min_snr_db")
     }),
 
+    // SNR-band census (round 5): decodes EVERY row and buckets its SNR into
+    // capped-lossless (== 120 dB: exact decode), finite-lossy-pass
+    // ([30, 120): real quantization error above the invariant threshold),
+    // and fail (< 30 dB). The oracle predicts all three counts exactly from
+    // the codec label + the injection rules — so a hash match proves
+    // end-to-end that (a) pcm/flac decode losslessly, (b) EVERY clean
+    // G.711 row lands strictly between threshold and cap (the codecs are
+    // genuinely lossy and genuinely good enough), and (c) exactly the
+    // corrupt/duplicate-id rows fail. The Spark side must discover the
+    // bands by actually decoding four different compressed formats.
+    "q40_clips_snr_bands" -> ((s, dir) => {
+      val n = clipCount(dir)
+      AudioInvariantCheck.check(OracleTables.clips(s, n),
+        OracleTables.catalog(s, n), sampleEvery = 1, maxSynthMs = 25)
+        .groupBy(col("codec"))
+        .agg(
+          sum(when(col("snr_db") === graft.audio.WavCodec.MaxSnrDb, 1L)
+            .otherwise(0L)).as("capped_rows"),
+          sum(when(col("snr_db") >= 30.0 &&
+            col("snr_db") < graft.audio.WavCodec.MaxSnrDb, 1L)
+            .otherwise(0L)).as("lossy_pass_rows"),
+          sum(when(col("snr_db") < 30.0, 1L).otherwise(0L)).as("fail_rows"))
+    }),
+
     // The fused one-scan suite (row constraints + referential + drift +
     // audio invariant in ONE pass) — the engine's 100 TB entry point
     "q26_clips_suite_onepass" -> ((s, dir) => {
@@ -973,6 +997,29 @@ object SparkEntry {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS transcript_failures
          |FROM $clips c LEFT JOIN $catalog k ON c.clip_id = k.clip_id
          |GROUP BY c.codec""".stripMargin,
+
+    // the SNR bands are fully predictable from codec label + injection
+    // rules: pcm/flac decode exactly (cap), G.711 decodes with real
+    // quantization error (measured 33.8-38.9 dB over the whole parameter
+    // space — always in [30, 120)), and exactly the corrupt/duplicate-id
+    // rows fail (< 30); the Spark side must reproduce this by decoding
+    "q40_clips_snr_bands" ->
+      s"""WITH c AS (
+         | SELECT codec,
+         |   (dur_ms <> 200 + (CAST(substr(clip_id, 6) AS BIGINT) * 37) % 9800
+         |    OR CAST(substr(clip_id, 6) AS BIGINT) % 5000 = 17) AS failpred
+         | FROM $clips
+         |)
+         |SELECT codec,
+         |  CAST(SUM(CASE WHEN NOT failpred
+         |    AND codec IN ('pcm_s16le','flac') THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS capped_rows,
+         |  CAST(SUM(CASE WHEN NOT failpred
+         |    AND codec IN ('pcm_mulaw','pcm_alaw') THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS lossy_pass_rows,
+         |  CAST(SUM(CASE WHEN failpred THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS fail_rows
+         |FROM c GROUP BY codec""".stripMargin,
 
     "q26_clips_suite_onepass" ->
       s"""WITH c AS (SELECT *, $clipOk AS ok FROM $clips),
