@@ -182,6 +182,9 @@ object Bench {
     var failed = List.empty[String]
     val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS",
       QueryReps.toString).toInt
+    // 0 reps would emit a self-contradictory artifact (every query at the
+    // -1 sentinel with an empty failed list) — fail loudly instead
+    require(queryReps >= 1, s"SPARK_GRAFT_QUERY_REPS must be >= 1, got $queryReps")
     val (results, rawSamples): (Seq[(String, Double)], Seq[(String, Seq[Double])]) =
       if (sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "0") (Nil, Nil)
       else {
@@ -220,7 +223,7 @@ object Bench {
             }
           }
         }
-        failed = named.map(_._1).filter(failedSet).reverse.toList
+        failed = named.map(_._1).filter(failedSet).toList
         spark.stop()
         (samples.toSeq.map { case (n, xs) => n -> reportedQueryWall(xs) },
           samples.toSeq.map { case (n, xs) => n -> (xs: Seq[Double]) })
@@ -323,7 +326,7 @@ object Bench {
     // distinguish "one rep caught a steal wave" from "this query regressed"
     val qSamples = rawSamples.map { case (k, xs) => s""""$k":${arr(xs)}""" }
       .mkString("{", ",", "}")
-    val failedArr = failed.reverse.map(n => s""""$n"""").mkString("[", ",", "]")
+    val failedArr = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
       s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +

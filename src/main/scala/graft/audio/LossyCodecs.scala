@@ -25,7 +25,12 @@ private[audio] object RiffContainer {
       bitsPerSample: Int, fmtExtra: Array[Byte], factSamples: Int,
       data: Array[Byte]): Array[Byte] = {
     val fmtSize = 18 + fmtExtra.length
-    val total = 12 + (8 + fmtSize) + 12 + (8 + data.length)
+    // RIFF chunks are word-aligned: an odd-sized data chunk is followed by
+    // one pad byte (counted in the RIFF size, NOT in the chunk size field).
+    // Only G.711 can hit this (1 byte/sample; ADPCM blocks are even);
+    // ByteBuffer.allocate zero-fills, so the pad byte is the required 0.
+    val pad = data.length & 1
+    val total = 12 + (8 + fmtSize) + 12 + (8 + data.length + pad)
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
       .put("WAVE".getBytes("US-ASCII"))

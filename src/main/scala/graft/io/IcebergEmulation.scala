@@ -46,36 +46,59 @@ object IcebergEmulation {
       s"writeTable supports Overwrite/Append, got $mode")
     val ddl = createTableDdl(spec, fqTableName, bucketKey = false)
     if (icebergRuntimeAvailable) {
+      val s = df.sparkSession
       if (mode == SaveMode.Overwrite) {
-        // Overwrite = full table replace in ONE atomic commit, INCLUDING
-        // schema: `createOrReplace()` on the V2 writer is a single Iceberg
-        // snapshot swap (REPLACE TABLE ... AS SELECT), so (a) a pre-existing
-        // table with a drifted schema is reconciled to the spec instead of
-        // silently keeping its stale columns (round-4 advice), and (b) no
-        // reader ever observes an empty table between statements and a
-        // mid-write failure leaves the previous snapshot intact — unlike
-        // the two-statement CREATE OR REPLACE + append it replaces.
-        val w = df.writeTo(fqTableName).using("iceberg")
-        (spec.partitionCols.map(org.apache.spark.sql.functions.col) match {
-          case Seq() => w
-          case Seq(p, rest @ _*) => w.partitionedBy(p, rest: _*)
-        }).createOrReplace()
+        // Steady state (table exists, schema matches the spec): ONE atomic
+        // snapshot swap via the V2 writer's unconditional overwrite — no
+        // reader observes an empty table, a mid-write failure keeps the
+        // previous snapshot, and the catalog schema (INCLUDING the spec's
+        // NOT NULL markers) is untouched. A drifted or missing table is
+        // instead (re)created from the spec DDL — required-ness and
+        // partition transforms must come from the SPEC, not from the df
+        // (a `createOrReplace()` from a parquet-read df would silently
+        // drop NOT NULL: DataFrame schemas arrive all-nullable) — then
+        // appended; only this rare reconcile case exposes the brief empty
+        // table between the two commits (round-4 advice: stale schemas
+        // must not survive an Overwrite).
+        if (specCompatible(s, fqTableName, spec))
+          df.writeTo(fqTableName).overwrite(lit(true))
+        else {
+          s.sql(ddl.replace("CREATE TABLE", "CREATE OR REPLACE TABLE"))
+          df.writeTo(fqTableName).append()
+        }
       } else {
         // Append keeps the existing table; guard against schema drift
-        // BEFORE writing (Iceberg would reject an incompatible append
-        // mid-commit with a low-level error; the library's own schema
-        // validator gives the reference's error taxonomy instead).
-        df.sparkSession.sql(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
-        val errs = graft.schema.SchemaValidator.validateSchema(
-          spec, df.sparkSession.table(fqTableName).schema)
+        // BOTH directions BEFORE writing (Iceberg would reject an
+        // incompatible append mid-commit with a low-level error; the
+        // library's own schema validator gives the reference's error
+        // taxonomy instead — and a spec NARROWER than the live table is
+        // drift too: the append would be missing columns).
+        s.sql(ddl.replace("CREATE TABLE", "CREATE TABLE IF NOT EXISTS"))
+        val live = s.table(fqTableName).schema
+        val errs = graft.schema.SchemaValidator.validateSchema(spec, live)
         require(errs.isEmpty,
           s"append to $fqTableName blocked by schema drift: " +
             errs.map(_.errorDetails).mkString("; "))
+        require(live.length == spec.columns.length,
+          s"append to $fqTableName blocked by schema drift: table has " +
+            s"${live.length} columns, spec declares ${spec.columns.length}")
         df.writeTo(fqTableName).append()
       }
     } else write(df, spec, path, mode)
     ddl
   }
+
+  /** True when the live catalog table exists and carries exactly the
+    * spec's column set with compatible types (validator errors empty and
+    * no extra stale columns) — the condition under which an Overwrite can
+    * reuse the existing table metadata in one atomic snapshot. */
+  private def specCompatible(s: SparkSession, fqTableName: String,
+      spec: TableSpec): Boolean =
+    s.catalog.tableExists(fqTableName) && {
+      val live = s.table(fqTableName).schema
+      graft.schema.SchemaValidator.validateSchema(spec, live).isEmpty &&
+        live.length == spec.columns.length
+    }
 
   /** Read back what [[writeTable]] wrote: the catalog table when the
     * Iceberg runtime is present (schema carried by the catalog, snapshot

@@ -27,8 +27,10 @@ object OracleTables {
     * (FlacCodec) instead of WAV bytes. v3: FLAC encoder switched to
     * single-pass order/parameter estimators (same decoded PCM, different
     * bytes). v4: the opus/mp3 stub labels are replaced by genuinely lossy
-    * G.711 pcm_mulaw/pcm_alaw rows carrying real companded payloads. */
-  val GeneratorVersion = 4
+    * G.711 pcm_mulaw/pcm_alaw rows carrying real companded payloads.
+    * v5: odd-sized G.711 data chunks get the RIFF word-alignment pad byte
+    * (spec conformance; same samples, container one byte longer). */
+  val GeneratorVersion = 5
 
   /** All callers use the same synth cap; it is part of the bytes, so it is
     * part of the path. */

@@ -114,6 +114,16 @@ class LossyCodecsSpec extends AnyFunSuite {
       === Array[Short](1234))
   }
 
+  test("odd-sized G.711 data chunks carry the RIFF word-alignment pad byte") {
+    val ref = sine(300.0, 25, 22050) // 22050·25/1000 = 551 samples → odd chunk
+    assert(ref.length % 2 === 1)
+    val bytes = G711Codec.encodeMuLaw(22050, ref)
+    assert(bytes.length % 2 === 0, "RIFF files are word-aligned")
+    assert(bytes.last === 0, "the pad byte is zero")
+    val (sr, got) = G711Codec.decodeMuLaw(bytes)
+    assert(sr === 22050 && got.length === ref.length)
+  }
+
   test("G.711 containers carry sample rate and exact length") {
     for (sr <- Seq(8000, 48000)) {
       val ref = sine(300.0, 25, sr)

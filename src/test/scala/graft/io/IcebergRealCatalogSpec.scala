@@ -57,7 +57,8 @@ class IcebergRealCatalogSpec extends AnyFunSuite {
       assert(IcebergEmulation.readTable(spark, fq, emuPath, spec).count() === 3)
 
       // schema-drift append is blocked by the library's validator BEFORE
-      // any write reaches the catalog
+      // any write reaches the catalog — both directions: a spec NARROWER
+      // than the live table (missing columns in the append)...
       val drifted = Seq((4L, "flac")).toDF("id", "codec")
       val e = intercept[IllegalArgumentException] {
         IcebergEmulation.writeTable(drifted,
@@ -66,6 +67,16 @@ class IcebergRealCatalogSpec extends AnyFunSuite {
           fq, emuPath, SaveMode.Append)
       }
       assert(e.getMessage.contains("schema drift"))
+      // ...and a type-drifted column (the validator's own error taxonomy)
+      val typeDrift = intercept[IllegalArgumentException] {
+        IcebergEmulation.writeTable(
+          Seq((5L, "flac", "oops")).toDF("id", "codec", "score"),
+          TableSpec("t", Seq(ColumnSpec("id", LongType),
+            ColumnSpec("codec", StringType),
+            ColumnSpec("score", StringType, nullable = true))),
+          fq, emuPath, SaveMode.Append)
+      }
+      assert(typeDrift.getMessage.contains("schema drift"))
 
       // Overwrite with a WIDER spec reconciles the catalog schema in one
       // atomic snapshot swap (the round-4 advice fix): the stale 3-column
@@ -82,6 +93,18 @@ class IcebergRealCatalogSpec extends AnyFunSuite {
       val reconciled = spark.table(fq)
       assert(reconciled.schema.fieldNames.contains("extra"))
       assert(reconciled.count() === 1)
+      // the reconcile path creates from the SPEC DDL, so required-ness
+      // survives (a createOrReplace from the df would arrive all-nullable)
+      assert(!reconciled.schema("id").nullable)
+      assert(reconciled.schema("extra").nullable)
+
+      // steady-state Overwrite (schema already matches): one atomic
+      // snapshot swap that keeps the catalog schema, NOT NULL included
+      IcebergEmulation.writeTable(
+        Seq((10L, "flac", 0.2, "y"), (11L, "pcm_s16le", 0.3, "z"))
+          .toDF("id", "codec", "score", "extra"), wider, fq, emuPath)
+      assert(spark.table(fq).count() === 2)
+      assert(!spark.table(fq).schema("id").nullable)
 
       // validate_schema against the live catalog table (the reference's
       // IcebergModel.validate_schema flow): clean spec → no errors,
