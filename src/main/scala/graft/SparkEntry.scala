@@ -566,6 +566,63 @@ object SparkEntry {
           col("codec"), col("total_rows"), col("error_rows"),
           col("error_rate"))
     }),
+
+    // Checkpoint/resume through the oracle gate (round 5; north rule:
+    // "resumable from checkpoint with exact per-partition lineage +
+    // metrics" — previously only unit-pinned). A four-act interrupted run
+    // over the codec-partitioned clips table:
+    //   run 1: an "interrupted" job validates only the pcm_s16le + flac
+    //          partitions (manifest records their content fingerprints);
+    //   run 2: resume over the FULL table — the manifest must skip the two
+    //          completed partitions and validate exactly the rest;
+    //   run 3: re-resume with nothing changed — must be a pure no-op;
+    //   run 4: an in-place edit of the flac partition's transcripts (null
+    //          rows untouched, so metrics are invariant) must flip its
+    //          whole-row fingerprint and re-queue exactly that partition.
+    // The emitted row per partition carries the manifest's final metrics
+    // plus which run validated it / whether the edit re-queued it — all
+    // exactly predictable by the oracle from the injection rules, so a
+    // hash match pins both the validation numbers AND the resume/lineage
+    // control flow.
+    "q41_checkpoint_resume" -> ((s, dir) => {
+      import graft.checkpoint.ManifestCheckpoint
+      val n = clipCount(dir)
+      val clips = OracleTables.clips(s, n)
+      val base = s"/root/repo/target/graft-ckpt/n$n"
+      // fresh state per invocation: verify and each bench rep replay the
+      // whole interrupted-run scenario deterministically
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      catch { case _: java.io.IOException => }
+      val manifestDir = s"$base/manifest"
+      val outDir = s"$base/out"
+      val firstRun = clips.where(col("codec").isin("pcm_s16le", "flac"))
+      val run1 = ManifestCheckpoint.runResumable(s, firstRun,
+        ClipsGenerator.spec, manifestDir, outDir)
+      require(run1.toSet == Set("pcm_s16le", "flac"),
+        s"interrupted run validated $run1")
+      val run2 = ManifestCheckpoint.runResumable(s, clips,
+        ClipsGenerator.spec, manifestDir, outDir)
+      require(run2.toSet == Set("pcm_mulaw", "pcm_alaw"),
+        s"resume must validate exactly the remaining partitions, got $run2")
+      val run3 = ManifestCheckpoint.runResumable(s, clips,
+        ClipsGenerator.spec, manifestDir, outDir)
+      require(run3.isEmpty, s"completed manifest must no-op on resume: $run3")
+      val edited = clips.withColumn("transcript",
+        when(col("codec") === "flac",
+          concat(col("transcript"), lit(" v2")))
+          .otherwise(col("transcript")))
+      val run4 = ManifestCheckpoint.runResumable(s, edited,
+        ClipsGenerator.spec, manifestDir, outDir)
+      require(run4 == Seq("flac"),
+        s"edit must re-queue exactly the edited partition, got $run4")
+      ManifestCheckpoint.latestEntries(s.read.parquet(manifestDir))
+        .select(col("partition_value"), col("total_rows"),
+          col("error_rows"), col("valid_rows"),
+          when(col("partition_value").isin(run1: _*), 1).otherwise(2)
+            .as("validated_in_run"),
+          col("partition_value").isin(run4: _*).as("requeued_after_edit"),
+          lit(run3.isEmpty).as("resume_noop"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1000,8 +1057,10 @@ object SparkEntry {
 
     // the SNR bands are fully predictable from codec label + injection
     // rules: pcm/flac decode exactly (cap), G.711 decodes with real
-    // quantization error (measured 33.8-38.9 dB over the whole parameter
-    // space — always in [30, 120)), and exactly the corrupt/duplicate-id
+    // quantization error (parameter-space sweep mins 33.8/34.9 dB;
+    // audioop crosscheck over the v5 n=200k table lands in
+    // [35.01, 40.54] — always in [30, 120)), and exactly the
+    // corrupt/duplicate-id
     // rows fail (< 30); the Spark side must reproduce this by decoding
     "q40_clips_snr_bands" ->
       s"""WITH c AS (
@@ -1048,6 +1107,26 @@ object SparkEntry {
          |    AND SUM(CASE WHEN transcript IS DISTINCT FROM ref_transcript
          |      THEN 1 ELSE 0 END) = 0) AS passed
          |FROM j GROUP BY codec""".stripMargin,
+
+    // the checkpoint manifest's final per-partition metrics are q20's
+    // summary regrouped by the physical partition value; the resume
+    // control-flow columns are constants of the scenario (run 1 covered
+    // pcm_s16le+flac; the edit touched flac; run 3 no-opped) — the Spark
+    // side must EARN them by actually skipping fingerprint-matched
+    // partitions and re-queuing the edited one (the in-query `require`s
+    // abort on any deviation, so a returned row implies the control flow)
+    "q41_checkpoint_resume" ->
+      s"""WITH c AS (SELECT codec, $clipOk AS ok FROM $clips)
+         |SELECT codec AS partition_value, COUNT(*) AS total_rows,
+         |  CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS error_rows,
+         |  COUNT(*) - CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS valid_rows,
+         |  CASE WHEN codec IN ('pcm_s16le','flac') THEN 1 ELSE 2 END
+         |    AS validated_in_run,
+         |  (codec = 'flac') AS requeued_after_edit,
+         |  TRUE AS resume_noop
+         |FROM c GROUP BY codec""".stripMargin,
     )
   }
 }
