@@ -80,11 +80,36 @@ object ManifestCheckpoint {
       .where(col("_rn") === 1).drop("_rn")
   }
 
-  /** Partition values that still need validation: no manifest entry, or
-    * content fingerprint changed since the recorded run. */
-  def pendingPartitions(spark: SparkSession, df: DataFrame,
-      partitionCol: String, manifestDir: String): Seq[String] = {
-    val current = fingerprints(df, partitionCol)
+  /** Metadata-only per-partition fingerprints from a REAL Iceberg table's
+    * `.files` metadata table: (partition_value, content_rows, content_hash)
+    * where the hash XORs per-data-file xxhash64(file_path, file_size,
+    * record_count) and the row count sums the files' record counts. ZERO
+    * data-file reads — any append/overwrite/compaction changes a
+    * partition's file set, so the fingerprint flips exactly when its
+    * content could have. This is the cluster replacement for
+    * [[fingerprints]]'s content scan (whose docstring promises this seam):
+    * pass it to [[runResumable]] as the `fingerprintSource`. Requires the
+    * Iceberg runtime ([[graft.io.IcebergEmulation.icebergRuntimeAvailable]])
+    * — parquet emulation tables have no `.files` metadata table.
+    * Ref: the reference reads Iceberg metadata through the same catalog
+    * handle its validator uses (`iceberg/model.py:206-223`). */
+  def icebergFingerprints(spark: SparkSession, fqTableName: String,
+      partitionCol: String): DataFrame =
+    spark.sql(
+      s"""SELECT `partition`.`$partitionCol` AS pv, file_path,
+         |  file_size_in_bytes, record_count
+         |FROM $fqTableName.files""".stripMargin)
+      .groupBy(coalesce(col("pv").cast("string"), lit(NullPartitionKey))
+        .as("partition_value"))
+      .agg(sum("record_count").as("content_rows"),
+        expr("bit_xor(xxhash64(file_path, file_size_in_bytes, record_count))")
+          .as("content_hash"))
+
+  /** Diff a current fingerprint frame (partition_value, content_rows,
+    * content_hash) against the manifest: partitions with no entry or a
+    * changed fingerprint still need validation. */
+  private[checkpoint] def pendingAgainstManifest(spark: SparkSession,
+      current: DataFrame, manifestDir: String): Seq[String] =
     readManifest(spark, manifestDir) match {
       case None => current.select("partition_value").collect().map(_.getString(0)).toSeq
       case Some(m) =>
@@ -97,7 +122,12 @@ object ManifestCheckpoint {
             col("m_hash") =!= col("content_hash"))
           .select("partition_value").collect().map(_.getString(0)).toSeq
     }
-  }
+
+  /** Partition values that still need validation: no manifest entry, or
+    * content fingerprint changed since the recorded run. */
+  def pendingPartitions(spark: SparkSession, df: DataFrame,
+      partitionCol: String, manifestDir: String): Seq[String] =
+    pendingAgainstManifest(spark, fingerprints(df, partitionCol), manifestDir)
 
   /** Validate only pending partitions; write violations under
     * `outDir/violations/partition_value=<v>/` and append manifest entries.
@@ -115,12 +145,24 @@ object ManifestCheckpoint {
     * partition count (the per-partition loop ran ~2 jobs × N partitions,
     * serially: ~2000 jobs at 1000 partitions). */
   def runResumable(spark: SparkSession, df: DataFrame, spec: TableSpec,
-      manifestDir: String, outDir: String): Seq[String] = {
+      manifestDir: String, outDir: String,
+      fingerprintSource: Option[() => DataFrame] = None): Seq[String] = {
     import spark.implicits._
     require(spec.partitionCols.size == 1 && spec.keyCols.size == 1,
       "resumable runs checkpoint on a single partition column + single key")
     val partCol = spec.partitionCols.head
-    val pending = pendingPartitions(spark, df, partCol, manifestDir)
+    // `fingerprintSource` swaps the lineage basis: None = hash the data
+    // itself (emulated parquet partitions — one full read on resume);
+    // Some(thunk) = an external metadata-only fingerprint frame
+    // (partition_value, content_rows, content_hash), e.g.
+    // [[icebergFingerprints]] over the live `.files` metadata table. The
+    // SAME source must feed both the pending diff and the entries written
+    // below — mixing bases would re-queue everything on every run.
+    val currentFps = fingerprintSource.map(_())
+    val pending = currentFps match {
+      case Some(fps) => pendingAgainstManifest(spark, fps, manifestDir)
+      case None => pendingPartitions(spark, df, partCol, manifestDir)
+    }
     if (pending.isEmpty) return pending
     // filter on the SAME key expression the fingerprint uses (stringified,
     // NULL → sentinel), so non-string or NULL partition values can't
@@ -157,19 +199,30 @@ object ManifestCheckpoint {
     // same whole-row hash as fingerprints() — over the ORIGINAL columns
     // only (the annotation column must not enter the fingerprint)
     val allCols = df.columns.map(c => s"`$c`").mkString(", ")
-    val entries = run.annotated
+    val metrics = run.annotated
       .groupBy(partitionKey(partCol).as("partition_value"))
       .agg(
         count(lit(1)).as("total_rows"),
         coalesce(sum(when(size(failed) > 0, 1L).otherwise(0L)), lit(0L))
           .as("error_rows"),
+        // data-basis hash, fused into the metrics pass (no extra scan);
+        // unused (and replaced) when an external fingerprint source is
+        // the lineage basis
         expr(s"bit_xor(xxhash64($allCols))").as("content_hash"))
+    val withLineage = currentFps match {
+      case None => metrics.withColumn("content_rows", col("total_rows"))
+      case Some(fps) => // metadata basis: lineage columns come from the source
+        metrics.drop("content_hash")
+          .join(fps.select(col("partition_value"), col("content_rows"),
+            col("content_hash")), Seq("partition_value"))
+    }
+    val entries = withLineage
       .collect() // O(#pending partitions) rows — driver-safe by construction
       .map { r =>
         val total = r.getAs[Long]("total_rows")
         val errors = r.getAs[Long]("error_rows")
         ManifestEntry(r.getAs[String]("partition_value"),
-          total, r.getAs[Long]("content_hash"),
+          r.getAs[Long]("content_rows"), r.getAs[Long]("content_hash"),
           total, errors, total - errors, now)
       }
     entries.toSeq.toDF().write.mode(SaveMode.Append).parquet(manifestDir)

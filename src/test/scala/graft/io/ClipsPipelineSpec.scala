@@ -151,6 +151,42 @@ class ClipsPipelineSpec extends AnyFunSuite {
     assert(m.columns.contains("content_hash") && m.columns.contains("error_rows"))
   }
 
+  test("external fingerprint source drives resume (Iceberg metadata-lineage seam)") {
+    import org.apache.spark.sql.types.StringType
+    val tmp = Files.createTempDirectory("graft-ckpt-meta").toString
+    val manifestDir = s"$tmp/manifest"
+    val outDir = s"$tmp/out"
+    val df = Seq(("a", "p1"), ("b", "p1"), ("c", "p2")).toDF("k", "part")
+    val spec = TableSpec("t",
+      Seq(ColumnSpec("k", StringType), ColumnSpec("part", StringType)),
+      keyCols = Seq("k"), partitionCols = Seq("part"))
+    // stand-in for icebergFingerprints: a (partition_value, content_rows,
+    // content_hash) frame the test controls — same contract the `.files`
+    // metadata table produces on a real catalog
+    var fps = Seq(("p1", 2L, 11L), ("p2", 1L, 22L))
+      .toDF("partition_value", "content_rows", "content_hash")
+    val src = Some(() => fps)
+    val r1 = ManifestCheckpoint.runResumable(spark, df, spec,
+      manifestDir, outDir, src)
+    assert(r1.toSet === Set("p1", "p2"))
+    // unchanged metadata → no-op resume, with NO data scan needed for the diff
+    assert(ManifestCheckpoint.runResumable(spark, df, spec,
+      manifestDir, outDir, src).isEmpty)
+    // a compaction/append flips ONLY p2's file-set hash → exactly p2 re-runs
+    fps = Seq(("p1", 2L, 11L), ("p2", 1L, 99L))
+      .toDF("partition_value", "content_rows", "content_hash")
+    assert(ManifestCheckpoint.runResumable(spark, df, spec,
+      manifestDir, outDir, src) === Seq("p2"))
+    // the manifest records the SOURCE's lineage (not a data hash), next to
+    // the validation metrics computed from the actual rows
+    val p2 = ManifestCheckpoint.latestEntries(spark.read.parquet(manifestDir))
+      .where(col("partition_value") === "p2").collect().head
+    assert(p2.getAs[Long]("content_hash") === 99L)
+    assert(p2.getAs[Long]("content_rows") === 1L)
+    assert(p2.getAs[Long]("total_rows") === 1L)
+    assert(p2.getAs[Long]("error_rows") === 0L)
+  }
+
   test("NULL partition values are validated under the sentinel key, not skipped") {
     val tmp = Files.createTempDirectory("graft-ckpt-null").toString
     // null out the partition column for a deterministic slice of rows

@@ -116,6 +116,27 @@ class IcebergRealCatalogSpec extends AnyFunSuite {
         spark.table(fq).schema)
       assert(missing.map(_.errorDetails) ===
         Seq("Column absent is missing in the frame."))
+
+      // metadata-only checkpoint lineage: fingerprints from the `.files`
+      // metadata table (zero data reads) drive runResumable's pending
+      // diff; an append to ONE partition flips only its file-set hash
+      import graft.checkpoint.ManifestCheckpoint
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-iceberg-ckpt")
+      val src = Some(() =>
+        ManifestCheckpoint.icebergFingerprints(spark, fq, "codec"))
+      val fps = src.get.apply()
+      assert(fps.columns.sorted ===
+        Array("content_hash", "content_rows", "partition_value"))
+      val r1 = ManifestCheckpoint.runResumable(spark, spark.table(fq), wider,
+        s"$ckpt/manifest", s"$ckpt/out", src)
+      assert(r1.toSet === Set("flac", "pcm_s16le"))
+      assert(ManifestCheckpoint.runResumable(spark, spark.table(fq), wider,
+        s"$ckpt/manifest", s"$ckpt/out", src).isEmpty)
+      IcebergEmulation.writeTable(
+        Seq((12L, "flac", 0.4, "w")).toDF("id", "codec", "score", "extra"),
+        wider, fq, emuPath, SaveMode.Append)
+      assert(ManifestCheckpoint.runResumable(spark, spark.table(fq), wider,
+        s"$ckpt/manifest", s"$ckpt/out", src) === Seq("flac"))
     } finally spark.stop()
   }
 }
