@@ -623,6 +623,23 @@ object SparkEntry {
           col("partition_value").isin(run4: _*).as("requeued_after_edit"),
           lit(run3.isEmpty).as("resume_noop"))
     }),
+
+    // Frequency-domain content census (round 5): decode EVERY row and
+    // measure how much of its energy a tone at the frequency the clip's
+    // own id claims (220 + id % 880 Hz) explains — the audio analog of a
+    // content checksum, catching swapped / mislabeled / garbage payloads
+    // WITHOUT the reference PCM the SNR invariant needs. The oracle
+    // predicts all three bands per codec exactly from the injection rules
+    // (corrupt non-flac rows decode to half-garbage → anomaly; corrupt
+    // flac rows fail their CRC → decode_fail; everything else, including
+    // 1 Hz-off duplicate-id rows, is the claimed tone → match); the Spark
+    // side must earn them by decoding four codecs and projecting every
+    // signal onto its claimed tone (margins swept in ToneProjectionSpec:
+    // legit >= 0.9995 vs corrupt <= 0.537 at threshold 0.75).
+    "q42_clips_tone_census" -> ((s, dir) => {
+      val n = clipCount(dir)
+      FrequencyCheck.census(OracleTables.clips(s, n), sampleEvery = 1)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1126,6 +1143,31 @@ object SparkEntry {
          |    AS validated_in_run,
          |  (codec = 'flac') AS requeued_after_edit,
          |  TRUE AS resume_noop
+         |FROM c GROUP BY codec""".stripMargin,
+
+    // the tone-census bands follow the injection rules alone: rows at
+    // index % 5000 == 17 carry byte-zeroed payloads (dup rows never
+    // collide with that residue — they inherit id ≡ 10 (mod 5000) — so
+    // id identifies them for every row); zeroed flac streams fail their
+    // frame CRC (decode_fail), zeroed PCM/G.711 streams decode to
+    // half-garbage whose claimed-tone projection collapses (anomaly),
+    // and every other payload IS its claimed tone (match) — including
+    // duplicate-id rows, whose tone sits 1 Hz off, unresolvable in a
+    // 25 ms window and by design left to the SNR invariant. The Spark
+    // side must reproduce this by decode + projection per row.
+    "q42_clips_tone_census" ->
+      s"""WITH c AS (
+         | SELECT codec,
+         |   CAST(substr(clip_id, 6) AS BIGINT) % 5000 = 17 AS corrupt
+         | FROM $clips
+         |)
+         |SELECT codec,
+         |  CAST(SUM(CASE WHEN NOT corrupt THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS tone_match_rows,
+         |  CAST(SUM(CASE WHEN corrupt AND codec <> 'flac' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS tone_anomaly_rows,
+         |  CAST(SUM(CASE WHEN corrupt AND codec = 'flac' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS decode_fail_rows
          |FROM c GROUP BY codec""".stripMargin,
     )
   }

@@ -1,0 +1,77 @@
+package graft.validate
+
+import graft.TestSpark
+import graft.io.ClipsGenerator
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Frequency-domain content check over the dirty clips table: the census
+  * bands must equal the injection-rule prediction, with margins far from
+  * the 0.75 threshold on both sides (the parameter-space margin sweep
+  * lives in ToneProjectionSpec; this spec pins the table-level behavior).
+  * Facts the prediction rests on:
+  *  - duplicate-id rows sit exactly 1 Hz from the id-derived expectation
+  *    (payload of index id+1 under index id's tone claim) — unresolvable
+  *    in a 25 ms window, so they MATCH here and are caught by the SNR
+  *    invariant instead. The wrap case (879 Hz off) is arithmetically
+  *    impossible: i ≡ 11 (mod 5000) and i ≡ 0 (mod 880) has no solution
+  *    (it needs 600a ≡ 869 (mod 880), but gcd(600,880)=40 does not
+  *    divide 869);
+  *  - corrupt rows are identified by id for EVERY row (dup rows inherit
+  *    id ≡ 10 (mod 5000), never 17): zeroed flac streams fail their CRC
+  *    (decode_fail), zeroed PCM/G.711 decode to half-garbage whose
+  *    claimed-tone projection collapses (anomaly);
+  *  - corrupted sr_hz columns can't skew anything (decode reads the
+  *    payload header), and null transcripts don't touch the payload.
+  */
+class FrequencyCheckSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  val N = 20000L
+  lazy val dirty = ClipsGenerator.clips(spark, N, numPartitions = 8,
+    withErrors = true, maxSynthMs = 25).toDF().cache()
+
+  test("census bands equal the injection-rule prediction") {
+    val got = FrequencyCheck.census(dirty, sampleEvery = 1)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val corrupt = (0L until N).filter(_ % 5000 == 17)
+    assert(corrupt.nonEmpty)
+    val byCodec = (0L until N).groupBy(ClipsGenerator.codec)
+    for ((codec, ids) <- byCodec) {
+      val corruptHere = corrupt.count(ClipsGenerator.codec(_) == codec).toLong
+      val expected =
+        if (codec == "flac") (ids.size - corruptHere, 0L, corruptHere)
+        else (ids.size - corruptHere, corruptHere, 0L)
+      assert(got(codec) === expected, s"codec=$codec")
+    }
+  }
+
+  test("verdict margins: legit rows >= 0.999, corrupt decodable rows <= 0.55") {
+    val rows = FrequencyCheck.check(dirty, sampleEvery = 1)
+      .withColumn("corrupt",
+        expr("CAST(substr(clip_id, 6) AS BIGINT)") % 5000 === 17)
+      .where(col("tone_ratio").isNotNull)
+      .groupBy(col("corrupt"))
+      .agg(min(col("tone_ratio")).as("lo"), max(col("tone_ratio")).as("hi"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(rows(false)._1 >= 0.999, s"legit min ${rows(false)._1}")
+    assert(rows(true)._2 <= 0.55, s"corrupt max ${rows(true)._2}")
+  }
+
+  test("a genuinely swapped payload is caught (the check's purpose)") {
+    // graft a payload 100 Hz away from what the id claims
+    val swapped = Seq((ClipsGenerator.clipId(42),
+      graft.audio.WavCodec.synthSine(
+        ClipsGenerator.freqHz(42) + 100.0, 25, 16000),
+      16000, 25, "pcm_s16le", "t")).toDF(
+      "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val out = FrequencyCheck.check(swapped, sampleEvery = 1).collect().head
+    assert(!out.getAs[Boolean]("content_ok"))
+    // the diagnostic estimate pinpoints the actual tone carried
+    assert(math.abs(out.getAs[Double]("freq_est_hz") -
+      (ClipsGenerator.freqHz(42) + 100.0)) < 1.0)
+  }
+}
