@@ -640,6 +640,37 @@ object SparkEntry {
       val n = clipCount(dir)
       FrequencyCheck.census(OracleTables.clips(s, n), sampleEvery = 1)
     }),
+
+    // Streaming drift monitor through the oracle gate (round 5 — the one
+    // streaming monitor q35-q37 left unpinned at the driver level). Same
+    // verdict-pinning design as q34: the reference t-digest is trained in
+    // batch on the unshifted table, the STREAM replays the table with
+    // pcm_mulaw durations shifted +5000 ms (ks ≈ 0.5+ for that codec,
+    // ≈ 0.01 for the rest — far from the 0.1 threshold on both sides, so
+    // sketch error cannot flip any verdict), and the windowed streaming
+    // t-digest aggregation (bounded ObjectHashAggregate state, one sketch
+    // per window x codec) must reproduce exactly the oracle's rule-derived
+    // verdict. Constant event time + Complete mode + single AvailableNow
+    // batch = one deterministic emission per codec (Append would hold the
+    // unclosed window back, as in q37). ks/psi numbers are sketch-specific
+    // and deliberately dropped; the VERDICT is the oracle-comparable fact.
+    "q43_streaming_drift" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val clips = OracleTables.clips(s, n)
+      val ref = DriftCheck.digest(clips, "dur_ms")
+      val stream = clipsStream(s, n)
+        .withColumn("dur_ms",
+          when(col("codec") === "pcm_mulaw", col("dur_ms") + 5000)
+            .otherwise(col("dur_ms")))
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val mon = graft.streaming.StreamingDrift.monitor(
+        stream, "ts", "dur_ms", Seq("codec"), ref,
+        windowDuration = "1 hour", watermarkDelay = "10 minutes")
+      runAvailableNow(mon, "q43", "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("codec"), col("drifted"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1169,6 +1200,16 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN corrupt AND codec = 'flac' THEN 1 ELSE 0 END)
          |    AS BIGINT) AS decode_fail_rows
          |FROM c GROUP BY codec""".stripMargin,
+
+    // streaming drift verdict: the planted +5000 ms shift on pcm_mulaw
+    // sits at ks ≈ 0.5+ (others ≈ 0.01) vs the 0.1 threshold, so the
+    // rule-derived verdict is exact; the single constant-timestamp window
+    // is the hour it falls in (q34 pins the same sketch verdict against
+    // exact CDFs in batch; this gates the STREAMING aggregation path)
+    "q43_streaming_drift" ->
+      s"""SELECT '2024-01-01 00:00:00' AS hr, codec,
+         |  (codec = 'pcm_mulaw') AS drifted
+         |FROM $clips GROUP BY codec""".stripMargin,
     )
   }
 }
