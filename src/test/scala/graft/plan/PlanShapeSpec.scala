@@ -122,6 +122,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"payload entered a suite exchange: $shuffles")
   }
 
+  test("tone census shuffles partial counts only — decode stays map-side") {
+    val clips = spark.read.parquet(clipsPath)
+    val shuffles = shuffleOutputs(
+      graft.validate.FrequencyCheck.census(clips, sampleEvery = 1))
+    assert(shuffles.nonEmpty)
+    // the decode+projection UDF and the band classification must run
+    // BEFORE the exchange: the shuffle carries (codec, partial sums), so
+    // a 10^12-row census moves one row per codec per map task, never
+    // payloads or per-row ratios
+    assert(!shuffles.exists(s => s.contains("bytes") || s.contains("tone_ratio")),
+      s"per-row data entered the census exchange: $shuffles")
+  }
+
   test("checkpoint resume runs a constant number of jobs (batched, not per-partition)") {
     val sc = spark.sparkContext
     val tmp = Files.createTempDirectory("graft-ckpt-jobs").toString
