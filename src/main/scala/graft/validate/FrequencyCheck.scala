@@ -53,8 +53,12 @@ object FrequencyCheck {
     udf { (bytes: Array[Byte], codec: String, expectedHz: Double) =>
       try {
         val (sr, decoded) = AudioCodec.decode(bytes, codec)
-        Some((Spectral.dominantFreqHz(decoded, sr, SearchFloorHz),
-          Spectral.toneMatchRatio(decoded, sr, expectedHz)))
+        val ratio = Spectral.toneMatchRatio(decoded, sr, expectedHz)
+        // a signal too short to window (NaN ratio) is a failed decode,
+        // not content: Spark orders NaN ABOVE every double, so letting it
+        // through would silently satisfy `ratio >= threshold`
+        if (ratio.isNaN) None
+        else Some((Spectral.dominantFreqHz(decoded, sr, SearchFloorHz), ratio))
       } catch { case _: Exception => None }
     }
 

@@ -61,6 +61,18 @@ class FrequencyCheckSpec extends AnyFunSuite {
     assert(rows(true)._2 <= 0.55, s"corrupt max ${rows(true)._2}")
   }
 
+  test("a payload too short to window reads as decode failure, not a match") {
+    // 3 samples => NaN ratio inside the UDF; Spark orders NaN above every
+    // double, so an unguarded NaN would satisfy `ratio >= 0.75`
+    val shortWav = graft.audio.WavCodec.synthSine(440.0, 0, 16000)
+    val tiny = Seq((ClipsGenerator.clipId(1), shortWav, 16000, 25,
+      "pcm_s16le", "t")).toDF(
+      "clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val out = FrequencyCheck.check(tiny, sampleEvery = 1).collect().head
+    assert(out.isNullAt(out.fieldIndex("tone_ratio")))
+    assert(!out.getAs[Boolean]("content_ok"))
+  }
+
   test("a genuinely swapped payload is caught (the check's purpose)") {
     // graft a payload 100 Hz away from what the id claims
     val swapped = Seq((ClipsGenerator.clipId(42),
