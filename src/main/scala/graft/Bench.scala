@@ -5,10 +5,12 @@ import graft.validate._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.util.Locale
 
-/** Benchmark main. Prints ONE bare JSON line on stdout (build.sbt pipes the
-  * forked run's stdout through un-prefixed) AND writes the same JSON to
-  * `SPARK_GRAFT_BENCH_OUT` (default `/root/repo/target/bench_last.json`) so
-  * the result survives any log wrapping. All numbers are formatted with
+/** Benchmark main. Prints ONE bare COMPACT JSON line on stdout (build.sbt
+  * pipes the forked run's stdout through un-prefixed): totals, per-query
+  * min map, failures, scaling verdict — sized to fit the driver's ~2 KB
+  * stdout tail capture ([[headlineJson]]). The FULL record (raw per-query
+  * sample arrays, wall arrays) goes to `SPARK_GRAFT_BENCH_OUT` (default
+  * `<cwd>/target/bench_last.json`) only. All numbers are formatted with
   * Locale.ROOT (a locale-dependent f-interpolator can emit comma decimal
   * separators = invalid JSON).
   *
@@ -169,6 +171,52 @@ object Bench {
     if (d.isNaN || d.isInfinite) "null"
     else String.format(Locale.ROOT, "%.3f", Double.box(d))
 
+  def jsonObj(fields: Seq[(String, String)]): String =
+    fields.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
+  /** Size budget for the HEADLINE stdout line. The driver's artifact
+    * capture keeps only the ~last 2 KB of stdout (round-5 verdict #1:
+    * shipping the raw `query_samples` arrays on the same line pushed it
+    * past that and `BENCH_r05.json` recorded `parsed: null`), so the
+    * final stdout line must stay comfortably inside it with headroom for
+    * future queries. */
+  val HeadlineBudgetBytes = 1900
+
+  /** Query keys in the headline are the `qNN` prefix — the query's identity
+    * in every artifact (BASELINE.md ranges, verdict prose) — because ~47
+    * FULL names alone would eat ~1.6 KB of the ~2 KB capture; the full
+    * names live in the file-only record. Prefixes are unique by
+    * construction (one query per qNN). */
+  def compactName(name: String): String = name.takeWhile(_ != '_')
+
+  /** The compact machine-readable headline — totals, per-query MIN map,
+    * failure list, and the scaling verdict fields ONLY. Everything else
+    * (raw sample arrays, wall arrays, low-level duplicates) lives in the
+    * full JSON written to SPARK_GRAFT_BENCH_OUT. Pure so BenchSpec can pin
+    * the budget against a future query-count grown past it. */
+  def headlineJson(total: Double, results: Seq[(String, Double)],
+      failed: Seq[String], sfDir: String, cpus: Int, lowCpus: Int,
+      clipsN: Long, scanTp: Double, scanWall: Double, scanEff: Double,
+      fullWall: Double, fullTp: Double, subLow: Int, subHigh: Int,
+      subEff: Double, fullEffClean: Double, headlineEff: Double): String =
+    jsonObj(Seq(
+      "metric" -> "\"total\"", "value" -> num(total), "unit" -> "\"sec\"",
+      "queries" -> results.map { case (k, v) => s""""${compactName(k)}":${num(v)}""" }
+        .mkString("{", ",", "}"),
+      "failed" -> failed.map(n => s""""${compactName(n)}"""").mkString("[", ",", "]"),
+      "sf" -> s""""$sfDir"""",
+      "cpus" -> cpus.toString, "cpus_low" -> lowCpus.toString,
+      "clips_n" -> clipsN.toString,
+      "clips_per_sec" -> num(scanTp),
+      "scan_wall_sec" -> num(scanWall),
+      "scan_scaling_efficiency" -> num(scanEff),
+      "full_wall_sec" -> num(fullWall),
+      "full_clips_per_sec" -> num(fullTp),
+      "undersub_cpus" -> s"[$subLow,$subHigh]",
+      "scaling_efficiency_undersub" -> num(subEff),
+      "scaling_efficiency_fullsub" -> num(fullEffClean),
+      "scaling_efficiency" -> num(headlineEff)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -320,40 +368,38 @@ object Bench {
     val headlineEff = if (!subEff.isNaN) subEff else fullEffClean
 
     def arr(xs: Seq[Double]): String = xs.map(num).mkString("[", ",", "]")
-    val qs = results.map { case (k, v) => s""""$k":${num(v)}""" }
-      .mkString("{", ",", "}")
-    // raw per-query sample arrays: the evidence trail that lets a reader
-    // distinguish "one rep caught a steal wave" from "this query regressed"
-    val qSamples = rawSamples.map { case (k, xs) => s""""$k":${arr(xs)}""" }
-      .mkString("{", ",", "}")
-    val failedArr = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
-      s""""queries":$qs,"query_reps":$queryReps,""" +
-      s""""query_samples":$qSamples,"failed":$failedArr,"sf":"$sfDir",""" +
-      s""""cpus":$cpus,"cpus_low":$lowCpus,"clips_n":$clipsN,""" +
-      s""""clips_per_sec":${num(scanTp)},""" +
-      s""""scan_wall_sec":${num(scanWall)},"scan_wall_sec_low":${num(scanWallLow)},""" +
-      s""""scan_clips_per_sec_low":${num(scanTpLow)},""" +
-      s""""scan_scaling_efficiency":${num(scanEff)},""" +
-      s""""full_wall_sec":${num(fullWall)},"full_clips_per_sec":${num(fullTp)},""" +
-      s""""full_wall_sec_low":${num(fullWallLow)},""" +
-      s""""full_clips_per_sec_low":${num(fullTpLow)},""" +
-      s""""full_walls":${arr(fullWalls)},"full_walls_low":${arr(fullWallsLow)},""" +
-      s""""scaling_efficiency_median":${num(fullEffMedian)},""" +
-      s""""undersub_cpus":[$subLow,$subHigh],"undersub_clips_n":$subN,""" +
-      s""""undersub_walls":${arr(subWalls)},"undersub_walls_low":${arr(subWallsLow)},""" +
-      s""""scaling_efficiency_undersub":${num(subEff)},""" +
-      s""""scaling_efficiency_fullsub_raw":${num(fullEff)},""" +
-      s""""scaling_efficiency_fullsub":${num(fullEffClean)},""" +
-      s""""scaling_efficiency":${num(headlineEff)}}"""
+    val headline = headlineJson(total, results, failed, sfDir, cpus, lowCpus,
+      clipsN, scanTp, scanWall, scanEff, fullWall, fullTp, subLow, subHigh,
+      subEff, fullEffClean, headlineEff)
+    // FULL evidence record (file-only, never stdout): the raw per-query
+    // sample arrays that let a reader distinguish "one rep caught a steal
+    // wave" from "this query regressed", plus the low-level walls
+    val fullJson = headline.dropRight(1) + "," + jsonObj(Seq(
+      "queries_full" -> results.map { case (k, v) => s""""$k":${num(v)}""" }
+        .mkString("{", ",", "}"),
+      "failed_full" -> failed.map(n => s""""$n"""").mkString("[", ",", "]"),
+      "query_reps" -> queryReps.toString,
+      "query_samples" -> rawSamples.map { case (k, xs) => s""""$k":${arr(xs)}""" }
+        .mkString("{", ",", "}"),
+      "scan_wall_sec_low" -> num(scanWallLow),
+      "scan_clips_per_sec_low" -> num(scanTpLow),
+      "full_wall_sec_low" -> num(fullWallLow),
+      "full_clips_per_sec_low" -> num(fullTpLow),
+      "full_walls" -> arr(fullWalls), "full_walls_low" -> arr(fullWallsLow),
+      "scaling_efficiency_median" -> num(fullEffMedian),
+      "undersub_clips_n" -> subN.toString,
+      "undersub_walls" -> arr(subWalls),
+      "undersub_walls_low" -> arr(subWallsLow),
+      "scaling_efficiency_fullsub_raw" -> num(fullEff))).drop(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/target/bench_last.json")
+      s"${sys.props("user.dir")}/target/bench_last.json")
     try {
       new java.io.File(outFile).getParentFile.mkdirs()
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullJson + "\n")
     } catch { case _: Exception => () }
-    println(json)
+    // the COMPACT headline is the LAST (and only) machine-readable stdout
+    // line — it must fit the driver's tail capture (round-5 verdict #1)
+    println(headline)
   }
 }
