@@ -75,41 +75,52 @@ object SparkEntry {
     // recommendation for large state (millions of live keys don't live on
     // the executor heap). SPARK_GRAFT_STATESTORE=hdfs restores Spark's
     // built-in default for comparison runs.
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    // remember the caller's provider so the RocksDB default cannot leak
+    // into later streaming queries on the shared session (round-5 advice)
+    val prevProvider = s.conf.getOption(ProviderKey)
     if (!sys.env.get("SPARK_GRAFT_STATESTORE").contains("hdfs"))
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      s.conf.set(ProviderKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(sink)
-      .option("checkpointLocation", s"$ckpt/ckpt")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // detach the result from the sink so BOTH per-invocation resources can
-    // be released (round-4 review: repeated bench/verify runs would
-    // otherwise accumulate tmpfs checkpoint dirs and driver-held sink
-    // tables). Monitor outputs are summary-sized by design (dup keys,
-    // orphan ids, window rates), so a driver copy is fine.
-    val sinkDf = s.table(sink)
-    val schema = sinkDf.schema
-    // driver-copy guard (round-4 verdict #7): this detach is sized for
-    // SUMMARY outputs (dup keys, orphan ids, window rates). The memory sink
-    // already holds the rows on the driver, but the extra copy below would
-    // double that; fail loudly if a future query routes a row-scale result
-    // through here instead of silently becoming a driver-OOM path.
     try {
-      val sinkRows = sinkDf.count()
-      require(sinkRows <= maxRows,
-        s"runAvailableNow($name): sink holds $sinkRows rows > " +
-          s"$maxRows — streaming monitor outputs must be " +
-          "summary-sized; write row-scale results to a file sink instead")
-      val rows = sinkDf.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(sink)
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // detach the result from the sink so BOTH per-invocation resources can
+      // be released (round-4 review: repeated bench/verify runs would
+      // otherwise accumulate tmpfs checkpoint dirs and driver-held sink
+      // tables). Monitor outputs are summary-sized by design (dup keys,
+      // orphan ids, window rates), so a driver copy is fine.
+      val sinkDf = s.table(sink)
+      val schema = sinkDf.schema
+      // driver-copy guard (round-4 verdict #7): this detach is sized for
+      // SUMMARY outputs (dup keys, orphan ids, window rates). The memory sink
+      // already holds the rows on the driver, but the extra copy below would
+      // double that; fail loudly if a future query routes a row-scale result
+      // through here instead of silently becoming a driver-OOM path.
+      try {
+        val sinkRows = sinkDf.count()
+        require(sinkRows <= maxRows,
+          s"runAvailableNow($name): sink holds $sinkRows rows > " +
+            s"$maxRows — streaming monitor outputs must be " +
+            "summary-sized; write row-scale results to a file sink instead")
+        val rows = sinkDf.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      } finally {
+        // cleanup runs on the guard path too — a failed invocation must not
+        // leak the tmpfs checkpoint dir or the driver-held sink table
+        s.catalog.dropTempView(sink)
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+        catch { case _: Exception => () }
+      }
     } finally {
-      // cleanup runs on the guard path too — a failed invocation must not
-      // leak the tmpfs checkpoint dir or the driver-held sink table
-      s.catalog.dropTempView(sink)
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
-      catch { case _: Exception => () }
+      prevProvider match {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None => s.conf.unset(ProviderKey)
+      }
     }
   }
 
@@ -410,11 +421,15 @@ object SparkEntry {
     // bench reps and repeated calls reuse the catalog table.
     "q39_clips_unique_bucketed" -> ((s, dir) => {
       val n = clipCount(dir)
-      val tbl = s"graft_clips_bucketed_$n"
+      // keyed like the oracle tables — generator version + synth cap + n —
+      // so a persistent metastore / leftover warehouse can never silently
+      // serve a table built from a previous generator (round-5 advice)
+      val key = s"v${OracleTables.GeneratorVersion}_ms${OracleTables.MaxSynthMs}_n$n"
+      val tbl = s"graft_clips_bucketed_$key"
       if (!s.catalog.tableExists(tbl))
         graft.io.IcebergEmulation.writeBucketed(
           OracleTables.clips(s, n), ClipsGenerator.spec, tbl, buckets = 16,
-          path = Some(s"/root/repo/target/graft-bucketed/n$n"))
+          path = Some(s"${OracleTables.ScratchRoot}/graft-bucketed/$key"))
       UniquenessCheck.duplicateKeys(s.table(tbl), Seq("clip_id"))
     }),
 
@@ -588,7 +603,7 @@ object SparkEntry {
       import graft.checkpoint.ManifestCheckpoint
       val n = clipCount(dir)
       val clips = OracleTables.clips(s, n)
-      val base = s"/root/repo/target/graft-ckpt/n$n"
+      val base = s"${OracleTables.ScratchRoot}/graft-ckpt/n$n"
       // fresh state per invocation: verify and each bench rep replay the
       // whole interrupted-run scenario deterministically
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))

@@ -90,8 +90,13 @@ private[audio] object RiffContainer {
             val cb = buf.getShort & 0xffff
             fmtExtra = new Array[Byte](cb); buf.get(fmtExtra)
           }
-          buf.position(start + size)
+          // odd-size pad byte, same as the fact/unknown branches — an
+          // odd-sized fmt chunk must not desynchronize the walk
+          buf.position(start + size + (size & 1))
         case "fact" =>
+          // a declared size < 4 would make the skip REWIND the buffer and
+          // re-parse misaligned bytes — fail loudly instead
+          require(size >= 4, s"fact chunk too small: $size bytes")
           fact = buf.getInt
           buf.position(buf.position() + size - 4 + (size & 1))
         case "data" =>

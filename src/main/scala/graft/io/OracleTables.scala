@@ -18,8 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OracleTables {
 
-  /** Inside the repo tree (driver rule: don't write outside /root/repo). */
-  val Root = "/root/repo/target/graft-oracle"
+  /** Single configurable scratch base for everything the engine's query
+    * list writes (oracle tables, bucketed tables, checkpoint scenarios):
+    * SPARK_GRAFT_SCRATCH, else `<cwd>/target` — the queries must not
+    * hardcode one sandbox's filesystem layout (round-5 advice). Under the
+    * driver this resolves to the repo's own target dir (driver rule:
+    * don't write outside the repo). */
+  val ScratchRoot: String = sys.env.getOrElse("SPARK_GRAFT_SCRATCH",
+    new java.io.File(sys.props("user.dir"), "target").getAbsolutePath)
+
+  val Root = s"$ScratchRoot/graft-oracle"
 
   /** Bump when ClipsGenerator's recipe or error injection changes — the
     * path carries it so stale materializations can never silently diverge

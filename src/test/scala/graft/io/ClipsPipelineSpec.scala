@@ -81,6 +81,28 @@ class ClipsPipelineSpec extends AnyFunSuite {
     assert(math.abs(d.toDouble / n - 1.0) < 0.05)
   }
 
+  test("salt bound holds on a narrow input: one partition, one hot key") {
+    // round-5 verdict: a spark_partition_id salt collapses to ONE value on
+    // a single-partition input, sending the whole hot key to one reducer.
+    // The per-row salt must (a) spread a hot key across the full bucket
+    // range even then, and (b) still re-sum to the exact count.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val hot = spark.range(0, 10000, 1, 1) // ONE input partition
+      .select(lit("hot-key").as("k"))
+    val salted = UniquenessCheck.duplicateKeysSalted(hot.toDF(), Seq("k"),
+      saltBuckets = 64)
+    assert(salted.collect().map(r => (r.getString(0), r.getAs[Long]("dup_count")))
+      .toSeq === Seq(("hot-key", 10000L)))
+    // the bound itself: the partial-count stage sees all 64 salts, so no
+    // reducer ever receives more than ~1/64th of the hot key's rows
+    val saltSpread = hot
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(64L)))
+      .groupBy(col("_salt")).count().collect()
+    assert(saltSpread.length === 64)
+    assert(saltSpread.map(_.getAs[Long]("count")).max <= 10000 / 64 + 1)
+  }
+
   test("referential check finds clips missing from the catalog") {
     val cat = ClipsGenerator.catalog(spark, N)
     val orphans = ReferentialCheck.orphans(clean.toDF(), cat, Seq("clip_id"),

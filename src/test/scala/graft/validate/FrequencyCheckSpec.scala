@@ -73,6 +73,25 @@ class FrequencyCheckSpec extends AnyFunSuite {
     assert(!out.getAs[Boolean]("content_ok"))
   }
 
+  test("a null-key row stays in the census as a decode failure") {
+    // round-5 verdict: the raw sampling hash `pmod(xxhash64(NULL), k)` is
+    // NULL, silently dropping null-key rows on foreign data. The full
+    // census must skip the filter, and ANY sampleEvery must keep the row
+    // findable (null-safe hash); the row itself lands as decode_fail (its
+    // expected frequency is underivable from a null id).
+    val wav = graft.audio.WavCodec.synthSine(440.0, 25, 16000)
+    val rows = Seq((null.asInstanceOf[String], wav, 16000, 25, "pcm_s16le", "t"))
+      .toDF("clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript")
+    val census = FrequencyCheck.census(rows, sampleEvery = 1).collect()
+    assert(census.map(_.getLong(3)).sum === 1L, "null-key row must be counted")
+    // the hash predicate itself is null-safe: on a NULL-poisoned hash both
+    // the predicate AND its negation are NULL, so the tautology below
+    // would filter the row out (count 0) — with the null-safe hash it is
+    // genuinely two-valued and keeps it
+    val p = SampleFilter.hashSampled(col("clip_id"), 100)
+    assert(rows.where(p || !p).count() === 1L)
+  }
+
   test("a genuinely swapped payload is caught (the check's purpose)") {
     // graft a payload 100 Hz away from what the id claims
     val swapped = Seq((ClipsGenerator.clipId(42),
