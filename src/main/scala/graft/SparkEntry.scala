@@ -491,16 +491,18 @@ object SparkEntry {
         .drop("min_snr_db")
     }),
 
-    // SNR-band census (round 5): decodes EVERY row and buckets its SNR into
-    // capped-lossless (== 120 dB: exact decode), finite-lossy-pass
-    // ([30, 120): real quantization error above the invariant threshold),
-    // and fail (< 30 dB). The oracle predicts all three counts exactly from
-    // the codec label + the injection rules — so a hash match proves
-    // end-to-end that (a) pcm/flac decode losslessly, (b) EVERY clean
-    // G.711 row lands strictly between threshold and cap (the codecs are
-    // genuinely lossy and genuinely good enough), and (c) exactly the
-    // corrupt/duplicate-id rows fail. The Spark side must discover the
-    // bands by actually decoding four different compressed formats.
+    // SNR-band census (round 5; per-codec floors round 6): decodes EVERY
+    // row and buckets its SNR into capped-lossless (== 120 dB: exact
+    // decode), finite-lossy-pass ([floor, 120): real quantization error
+    // above the codec's own invariant floor), and fail (< floor, where
+    // floor = 30 dB default / 8 dB for adpcm_ima). The oracle predicts all
+    // three counts exactly from the codec label + the injection rules — so
+    // a hash match proves end-to-end that (a) pcm/flac decode losslessly,
+    // (b) EVERY clean G.711 row lands in [30, 120) and every clean or
+    // duplicate-id adpcm_ima row in [8, 120) (the codecs are genuinely
+    // lossy and genuinely good enough for their floors), and (c) exactly
+    // the per-codec snrFailPred rows fail. The Spark side must discover
+    // the bands by actually decoding five different compressed formats.
     "q40_clips_snr_bands" -> ((s, dir) => {
       val n = clipCount(dir)
       AudioInvariantCheck.check(OracleTables.clips(s, n),
@@ -509,10 +511,11 @@ object SparkEntry {
         .agg(
           sum(when(col("snr_db") === graft.audio.WavCodec.MaxSnrDb, 1L)
             .otherwise(0L)).as("capped_rows"),
-          sum(when(col("snr_db") >= 30.0 &&
+          sum(when(col("snr_db") >= col("snr_threshold_db") &&
             col("snr_db") < graft.audio.WavCodec.MaxSnrDb, 1L)
             .otherwise(0L)).as("lossy_pass_rows"),
-          sum(when(col("snr_db") < 30.0, 1L).otherwise(0L)).as("fail_rows"))
+          sum(when(col("snr_db") < col("snr_threshold_db"), 1L).otherwise(0L))
+            .as("fail_rows"))
     }),
 
     // The fused one-scan suite (row constraints + referential + drift +
@@ -582,10 +585,11 @@ object SparkEntry {
           col("error_rate"))
     }),
 
-    // Checkpoint/resume through the oracle gate (round 5; north rule:
+    // Checkpoint/resume through the oracle gate (round 5; round 6 adds the
+    // APPEND act — the commonest production lineage event; north rule:
     // "resumable from checkpoint with exact per-partition lineage +
-    // metrics" — previously only unit-pinned). A four-act interrupted run
-    // over the codec-partitioned clips table:
+    // metrics"). A five-act interrupted run over the codec-partitioned
+    // clips table:
     //   run 1: an "interrupted" job validates only the pcm_s16le + flac
     //          partitions (manifest records their content fingerprints);
     //   run 2: resume over the FULL table — the manifest must skip the two
@@ -593,12 +597,19 @@ object SparkEntry {
     //   run 3: re-resume with nothing changed — must be a pure no-op;
     //   run 4: an in-place edit of the flac partition's transcripts (null
     //          rows untouched, so metrics are invariant) must flip its
-    //          whole-row fingerprint and re-queue exactly that partition.
+    //          whole-row fingerprint and re-queue exactly that partition;
+    //   run 5: GROWTH — the pcm_alaw partition receives id-shifted copies
+    //          of its own rows (id += n: fresh unique ids, the shape of a
+    //          new ingest batch; every other column verbatim, so the
+    //          appended rows carry the same constraint outcomes and the
+    //          partition's metrics exactly double). Exactly pcm_alaw must
+    //          re-queue — this is the event the metadata-only `.files`
+    //          fingerprint basis (ManifestCheckpoint.icebergFingerprints)
+    //          catches for free on a real catalog.
     // The emitted row per partition carries the manifest's final metrics
-    // plus which run validated it / whether the edit re-queued it — all
-    // exactly predictable by the oracle from the injection rules, so a
-    // hash match pins both the validation numbers AND the resume/lineage
-    // control flow.
+    // plus which run validated it / which acts re-queued it — all exactly
+    // predictable by the oracle from the injection rules, so a hash match
+    // pins both the validation numbers AND the resume/lineage control flow.
     "q41_checkpoint_resume" -> ((s, dir) => {
       import graft.checkpoint.ManifestCheckpoint
       val n = clipCount(dir)
@@ -617,7 +628,7 @@ object SparkEntry {
         s"interrupted run validated $run1")
       val run2 = ManifestCheckpoint.runResumable(s, clips,
         ClipsGenerator.spec, manifestDir, outDir)
-      require(run2.toSet == Set("pcm_mulaw", "pcm_alaw"),
+      require(run2.toSet == Set("pcm_mulaw", "pcm_alaw", "adpcm_ima"),
         s"resume must validate exactly the remaining partitions, got $run2")
       val run3 = ManifestCheckpoint.runResumable(s, clips,
         ClipsGenerator.spec, manifestDir, outDir)
@@ -630,12 +641,21 @@ object SparkEntry {
         ClipsGenerator.spec, manifestDir, outDir)
       require(run4 == Seq("flac"),
         s"edit must re-queue exactly the edited partition, got $run4")
+      val appended = edited.where(col("codec") === "pcm_alaw")
+        .withColumn("clip_id", format_string("clip-%012d",
+          expr("CAST(substr(clip_id, 6) AS BIGINT)") + lit(n)))
+      val grown = edited.unionByName(appended)
+      val run5 = ManifestCheckpoint.runResumable(s, grown,
+        ClipsGenerator.spec, manifestDir, outDir)
+      require(run5 == Seq("pcm_alaw"),
+        s"append must re-queue exactly the grown partition, got $run5")
       ManifestCheckpoint.latestEntries(s.read.parquet(manifestDir))
         .select(col("partition_value"), col("total_rows"),
           col("error_rows"), col("valid_rows"),
           when(col("partition_value").isin(run1: _*), 1).otherwise(2)
             .as("validated_in_run"),
           col("partition_value").isin(run4: _*).as("requeued_after_edit"),
+          col("partition_value").isin(run5: _*).as("requeued_after_append"),
           lit(run3.isEmpty).as("resume_noop"))
     }),
 
@@ -708,8 +728,19 @@ object SparkEntry {
         |  AND sr_hz IS NOT NULL AND sr_hz >= 8000 AND sr_hz <= 48000
         |  AND sr_hz IN (8000, 16000, 22050, 44100, 48000)
         |  AND dur_ms IS NOT NULL AND dur_ms > 0 AND dur_ms <= 30000
-        |  AND codec IS NOT NULL AND codec IN ('pcm_s16le','flac','pcm_mulaw','pcm_alaw')
+        |  AND codec IS NOT NULL AND codec IN ('pcm_s16le','flac','pcm_mulaw','pcm_alaw','adpcm_ima')
         |  AND transcript IS NOT NULL AND length(transcript) >= 1)""".stripMargin
+    // which rows MUST fail the per-codec SNR floor, by injection rule:
+    // duplicate-id rows (detectable as dur_ms not matching the id-derived
+    // value) plus byte-zeroed corrupt rows (id % 5000 = 17) — EXCEPT that
+    // under adpcm_ima's measured 8 dB floor a 1 Hz-off duplicate-id payload
+    // (15.1-19.0 dB, AdpcmBandSweep) passes; only corruption (≤ 2.5 dB)
+    // fails. The Spark side must earn this by decoding five formats.
+    def snrFailPred(p: String): String =
+      s"""(CASE WHEN ${p}codec = 'adpcm_ima'
+         |  THEN CAST(substr(${p}clip_id, 6) AS BIGINT) % 5000 = 17
+         |  ELSE ${p}dur_ms <> 200 + (CAST(substr(${p}clip_id, 6) AS BIGINT) * 37) % 9800
+         |    OR CAST(substr(${p}clip_id, 6) AS BIGINT) % 5000 = 17 END)""".stripMargin
     Map(
     "q01_null_summary" ->
       """SELECT lang, COUNT(*) AS total_rows,
@@ -1010,7 +1041,7 @@ object SparkEntry {
          | WHERE codec IS NULL
          |UNION ALL
          |SELECT clip_id, codec, 'codec', 'in_set', codec FROM c
-         | WHERE codec IS NOT NULL AND codec NOT IN ('pcm_s16le','flac','pcm_mulaw','pcm_alaw')
+         | WHERE codec IS NOT NULL AND codec NOT IN ('pcm_s16le','flac','pcm_mulaw','pcm_alaw','adpcm_ima')
          |UNION ALL
          |SELECT clip_id, codec, 'transcript', 'not_null', CAST(NULL AS VARCHAR) FROM c
          | WHERE transcript IS NULL
@@ -1103,15 +1134,12 @@ object SparkEntry {
          |FROM cdfs GROUP BY codec""".stripMargin,
 
     // expected-outcome oracle: the injection rules say which rows MUST fail
-    // decode (zeroed-back-half bytes at i%5000==17; duplicate-id rows whose
-    // payload belongs to a different index, detectable as dur_ms not
-    // matching the id-derived value) — the Spark side must find exactly
-    // them by decoding real WAV bytes and measuring SNR
+    // decode under each codec's floor (see snrFailPred) — the Spark side
+    // must find exactly them by decoding five real formats and measuring
+    // SNR against the per-codec threshold
     "q25_clips_audio_invariant" ->
       s"""SELECT c.codec, COUNT(*) AS sampled_rows,
-         |  CAST(SUM(CASE WHEN
-         |      c.dur_ms <> 200 + (CAST(substr(c.clip_id, 6) AS BIGINT) * 37) % 9800
-         |      OR CAST(substr(c.clip_id, 6) AS BIGINT) % 5000 = 17
+         |  CAST(SUM(CASE WHEN ${snrFailPred("c.")}
          |    THEN 1 ELSE 0 END) AS BIGINT) AS snr_failures,
          |  CAST(SUM(CASE WHEN (c.transcript = k.transcript) IS NOT TRUE
          |    THEN 1 ELSE 0 END) AS BIGINT) AS transcript_failures
@@ -1119,17 +1147,15 @@ object SparkEntry {
          |GROUP BY c.codec""".stripMargin,
 
     // the SNR bands are fully predictable from codec label + injection
-    // rules: pcm/flac decode exactly (cap), G.711 decodes with real
-    // quantization error (parameter-space sweep mins 33.8/34.9 dB;
-    // audioop crosscheck over the v5 n=200k table lands in
-    // [35.01, 40.54] — always in [30, 120)), and exactly the
-    // corrupt/duplicate-id
-    // rows fail (< 30); the Spark side must reproduce this by decoding
+    // rules under the per-codec floors: pcm/flac decode exactly (cap),
+    // G.711 decodes with real quantization error (parameter-space sweep
+    // mins 33.8/34.9 dB — always in [30, 120)), adpcm_ima decodes in
+    // [12.65, ~50] dB clean and [15.1, 19.0] dB on duplicate-id rows —
+    // both in [8, 120) — and exactly the per-codec snrFailPred rows land
+    // under their floor; the Spark side must reproduce this by decoding
     "q40_clips_snr_bands" ->
       s"""WITH c AS (
-         | SELECT codec,
-         |   (dur_ms <> 200 + (CAST(substr(clip_id, 6) AS BIGINT) * 37) % 9800
-         |    OR CAST(substr(clip_id, 6) AS BIGINT) % 5000 = 17) AS failpred
+         | SELECT codec, ${snrFailPred("")} AS failpred
          | FROM $clips
          |)
          |SELECT codec,
@@ -1137,8 +1163,8 @@ object SparkEntry {
          |    AND codec IN ('pcm_s16le','flac') THEN 1 ELSE 0 END) AS BIGINT)
          |    AS capped_rows,
          |  CAST(SUM(CASE WHEN NOT failpred
-         |    AND codec IN ('pcm_mulaw','pcm_alaw') THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS lossy_pass_rows,
+         |    AND codec IN ('pcm_mulaw','pcm_alaw','adpcm_ima') THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS lossy_pass_rows,
          |  CAST(SUM(CASE WHEN failpred THEN 1 ELSE 0 END) AS BIGINT)
          |    AS fail_rows
          |FROM c GROUP BY codec""".stripMargin,
@@ -1153,9 +1179,7 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS error_rows,
          |  CAST(SUM(CASE WHEN ref_transcript IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
          |  COUNT(*) AS sampled_rows,
-         |  CAST(SUM(CASE WHEN
-         |      dur_ms <> 200 + (CAST(substr(clip_id, 6) AS BIGINT) * 37) % 9800
-         |      OR CAST(substr(clip_id, 6) AS BIGINT) % 5000 = 17
+         |  CAST(SUM(CASE WHEN ${snrFailPred("")}
          |    THEN 1 ELSE 0 END) AS BIGINT) AS snr_failures,
          |  CAST(SUM(CASE WHEN transcript IS DISTINCT FROM ref_transcript
          |    THEN 1 ELSE 0 END) AS BIGINT) AS transcript_failures,
@@ -1164,32 +1188,41 @@ object SparkEntry {
          |  1.0 - CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS success_rate,
          |  (SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) = 0
          |    AND SUM(CASE WHEN ref_transcript IS NULL THEN 1 ELSE 0 END) = 0
-         |    AND SUM(CASE WHEN
-         |      dur_ms <> 200 + (CAST(substr(clip_id, 6) AS BIGINT) * 37) % 9800
-         |      OR CAST(substr(clip_id, 6) AS BIGINT) % 5000 = 17 THEN 1 ELSE 0 END) = 0
+         |    AND SUM(CASE WHEN ${snrFailPred("")} THEN 1 ELSE 0 END) = 0
          |    AND SUM(CASE WHEN transcript IS DISTINCT FROM ref_transcript
          |      THEN 1 ELSE 0 END) = 0) AS passed
          |FROM j GROUP BY codec""".stripMargin,
 
     // the checkpoint manifest's final per-partition metrics are q20's
-    // summary regrouped by the physical partition value; the resume
-    // control-flow columns are constants of the scenario (run 1 covered
-    // pcm_s16le+flac; the edit touched flac; run 3 no-opped) — the Spark
-    // side must EARN them by actually skipping fingerprint-matched
-    // partitions and re-queuing the edited one (the in-query `require`s
-    // abort on any deviation, so a returned row implies the control flow)
+    // summary regrouped by the physical partition value — with pcm_alaw's
+    // counts DOUBLED by the act-5 append (id-shifted copies carry every
+    // non-key column verbatim, so each appended row reproduces its
+    // source's constraint outcome; the shifted ids still match the
+    // 12-digit pattern). The resume control-flow columns are constants of
+    // the scenario (run 1 covered pcm_s16le+flac; the edit touched flac;
+    // the append grew pcm_alaw; run 3 no-opped) — the Spark side must
+    // EARN them by actually skipping fingerprint-matched partitions and
+    // re-queuing exactly the edited and the grown one (the in-query
+    // `require`s abort on any deviation, so a returned row implies the
+    // control flow)
     "q41_checkpoint_resume" ->
-      s"""WITH c AS (SELECT codec, $clipOk AS ok FROM $clips)
-         |SELECT codec AS partition_value, COUNT(*) AS total_rows,
-         |  CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
-         |    AS error_rows,
-         |  COUNT(*) - CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+      s"""WITH c AS (SELECT codec, $clipOk AS ok FROM $clips),
+         |g AS (
+         | SELECT codec, COUNT(*) AS tr,
+         |   CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT) AS er
+         | FROM c GROUP BY codec
+         |)
+         |SELECT codec AS partition_value,
+         |  CASE WHEN codec = 'pcm_alaw' THEN 2 * tr ELSE tr END AS total_rows,
+         |  CASE WHEN codec = 'pcm_alaw' THEN 2 * er ELSE er END AS error_rows,
+         |  CASE WHEN codec = 'pcm_alaw' THEN 2 * (tr - er) ELSE tr - er END
          |    AS valid_rows,
          |  CASE WHEN codec IN ('pcm_s16le','flac') THEN 1 ELSE 2 END
          |    AS validated_in_run,
          |  (codec = 'flac') AS requeued_after_edit,
+         |  (codec = 'pcm_alaw') AS requeued_after_append,
          |  TRUE AS resume_noop
-         |FROM c GROUP BY codec""".stripMargin,
+         |FROM g""".stripMargin,
 
     // the tone-census bands follow the injection rules alone: rows at
     // index % 5000 == 17 carry byte-zeroed payloads (dup rows never

@@ -138,9 +138,17 @@ object AdpcmCodec {
   /** Index-adjustment table (IMA spec table 1; indexed by nibble & 7). */
   private val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
-  /** Bytes per block (mono). 256 ⇒ 505 samples/block: 4-byte header + 252
-    * nibble-pair bytes. */
-  val BlockAlign = 256
+  /** Bytes per block (mono): 4-byte header + 32 nibble-pair bytes ⇒ 65
+    * samples/block (the spec's `(blockAlign-4)*2+1` mono formula; any block
+    * size is conformant — encoders pick it per application). Small blocks
+    * are chosen deliberately: a 25 ms clip at 8 kHz is 200 samples, so a
+    * 256-byte block would be ~60% padding and byte-range corruption (the
+    * generator's zero-back-half injection) could land entirely in padding,
+    * decoding clean — with 65-sample blocks the padding tail is < 1 block
+    * and corruption always destroys real samples. The per-block verbatim
+    * header sample also resets predictor drift more often, which is why
+    * clean-signal SNR is measured per block size (AdpcmBandSweep). */
+  val BlockAlign = 36
   val SamplesPerBlock: Int = (BlockAlign - 4) * 2 + 1
 
   private def clamp16(v: Int): Int =

@@ -124,9 +124,9 @@ object AudioCodec {
     * CRC-verified), `pcm_mulaw`/`pcm_alaw` ([[G711Codec]], ITU-T G.711
     * companding — genuinely lossy, clean rows decode at ≈34-39 dB SNR,
     * below the lossless cap), and `adpcm_ima` ([[AdpcmCodec]], IMA 4-bit
-    * ADPCM — implemented and dispatchable, though the synthetic generator
-    * does not emit it: see ClipsGenerator.Codecs). Unknown labels fail
-    * loudly. */
+    * ADPCM — the fifth generator label since v6, validated under a
+    * per-codec SNR floor: see AudioInvariantCheck.DefaultCodecThresholdsDb).
+    * Unknown labels fail loudly. */
   def decode(bytes: Array[Byte], codec: String): (Int, Array[Short]) = codec match {
     case "pcm_s16le" => WavCodec.decodePcm16(bytes)
     case "flac" => FlacCodec.decode(bytes)

@@ -1,6 +1,6 @@
 package graft.io
 
-import graft.audio.{FlacCodec, G711Codec, WavCodec}
+import graft.audio.{AdpcmCodec, FlacCodec, G711Codec, WavCodec}
 import graft.spec._
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.types._
@@ -29,18 +29,20 @@ final case class Clip(
   */
 object ClipsGenerator {
 
-  /** All four labels carry REAL payloads in their declared format since
-    * generator v4: WAV/PCM, from-scratch FLAC (lossless), and the two
-    * genuinely LOSSY G.711 companding codecs — no labeled stubs remain.
-    * The lossy rows decode at ≈34-39 dB SNR (below the 120 dB lossless
-    * cap), so the invariant's 30 dB threshold finally discriminates on
-    * real decoded error (round-4 verdict #3). IMA ADPCM is also
-    * implemented ([[graft.audio.AdpcmCodec]]) but deliberately NOT a
-    * generator label: its worst-case SNR over this generator's (freq, sr)
-    * space is 12.6 dB (measured at f/sr≈0.125), under the 30 dB
-    * invariant, so clean rows would be indistinguishable from corrupt
-    * ones. */
-  val Codecs: Array[String] = Array("pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw")
+  /** All five labels carry REAL payloads in their declared format:
+    * WAV/PCM, from-scratch FLAC (lossless), the two genuinely LOSSY G.711
+    * companding codecs (≈34-39 dB clean SNR), and — since v6 — IMA ADPCM
+    * ([[graft.audio.AdpcmCodec]], clean SNR 12.7-50 dB over this
+    * generator's (freq, sr) space). ADPCM sits BELOW the 30 dB global
+    * invariant by nature, which is exactly why the invariant carries
+    * per-codec floors ([[graft.validate.AudioInvariantCheck
+    * .DefaultCodecThresholdsDb]]: adpcm_ima → 8 dB): real pipelines set
+    * the floor per codec, and the bands are measured, not assumed —
+    * AdpcmBandSweep: clean ≥ 12.65 dB, duplicate-id rows 15.1-19.0 dB
+    * (pass by design; caught by transcript equality + uniqueness instead),
+    * byte-zeroed corrupt rows ≤ 2.5 dB. */
+  val Codecs: Array[String] =
+    Array("pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw", "adpcm_ima")
   val SampleRates: Array[Int] = Array(8000, 22050, 44100, 48000)
 
   /** Seeded word list (seed=42 convention, TESTDATA.md). */
@@ -65,11 +67,11 @@ object ClipsGenerator {
 
   def durMs(i: Long): Int = (200 + (i * 37) % 9800).toInt
 
-  /** Codec skewed 70/15/10/5 — the hot-partition axis. */
+  /** Codec skewed 65/15/10/5/5 — the hot-partition axis. */
   def codec(i: Long): String = {
     val p = math.floorMod(mix(i), 100L)
-    if (p < 70) Codecs(0) else if (p < 85) Codecs(1)
-    else if (p < 95) Codecs(2) else Codecs(3)
+    if (p < 65) Codecs(0) else if (p < 80) Codecs(1)
+    else if (p < 90) Codecs(2) else if (p < 95) Codecs(3) else Codecs(4)
   }
 
   def transcript(i: Long): String = {
@@ -106,6 +108,7 @@ object ClipsGenerator {
       case "flac" => FlacCodec.encode(srHz(i), samples)
       case "pcm_mulaw" => G711Codec.encodeMuLaw(srHz(i), samples)
       case "pcm_alaw" => G711Codec.encodeALaw(srHz(i), samples)
+      case "adpcm_ima" => AdpcmCodec.encode(srHz(i), samples)
       case _ => referenceBytes(i, maxSynthMs)
     }
   }

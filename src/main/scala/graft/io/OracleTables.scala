@@ -37,8 +37,11 @@ object OracleTables {
     * bytes). v4: the opus/mp3 stub labels are replaced by genuinely lossy
     * G.711 pcm_mulaw/pcm_alaw rows carrying real companded payloads.
     * v5: odd-sized G.711 data chunks get the RIFF word-alignment pad byte
-    * (spec conformance; same samples, container one byte longer). */
-  val GeneratorVersion = 5
+    * (spec conformance; same samples, container one byte longer).
+    * v6: `adpcm_ima` becomes the fifth codec label (shares 65/15/10/5/5)
+    * under a per-codec SNR floor, with AdpcmCodec.BlockAlign shrunk to 36
+    * so byte-range corruption always hits real nibble data. */
+  val GeneratorVersion = 6
 
   /** All callers use the same synth cap; it is part of the bytes, so it is
     * part of the path. */

@@ -25,6 +25,27 @@ object AudioInvariantCheck {
 
   val DefaultSnrThresholdDb = 30.0
 
+  /** Per-codec SNR floors layered over the default (round-5 verdict #3):
+    * a genuinely lossy codec has an intrinsic clean-signal SNR ceiling, so
+    * one global floor either rejects clean rows or never fires — real
+    * pipelines set the floor per codec. `adpcm_ima`'s 8 dB floor is
+    * measured, not guessed (AdpcmBandSweep over the full generator
+    * parameter space at the 25 ms cap): clean rows ≥ 12.65 dB, byte-zeroed
+    * corrupt rows ≤ 2.49 dB — the floor sits ≥ 4.6 dB from both bands.
+    * Deliberate trade at this floor: a payload whose tone is 1 Hz off the
+    * id's claim (the duplicate-id injection) measures 15.1-19.0 dB and
+    * PASSES the SNR check for adpcm_ima — those rows are still flagged by
+    * transcript equality and the uniqueness check, which is the right
+    * division of labor (SNR guards decode fidelity, not identity). */
+  val DefaultCodecThresholdsDb: Map[String, Double] = Map("adpcm_ima" -> 8.0)
+
+  /** The floor as a column expression: per-codec override, else default. */
+  def thresholdExpr(codec: org.apache.spark.sql.Column, defaultDb: Double,
+      perCodec: Map[String, Double]): org.apache.spark.sql.Column =
+    perCodec.toSeq.sortBy(_._1).foldLeft(lit(defaultDb)) {
+      case (acc, (c, t)) => when(codec === c, lit(t)).otherwise(acc)
+    }
+
   /** THE decode-and-measure UDF: decode the payload, re-synthesize the
     * reference PCM from the clip's own id, return the SNR in dB (−∞ on any
     * decode failure). Single definition shared by [[check]] and the fused
@@ -45,10 +66,13 @@ object AudioInvariantCheck {
     * Catalyst+AQE based on size). */
   def check(clips: DataFrame, catalog: DataFrame, sampleEvery: Int = 100,
       snrThresholdDb: Double = DefaultSnrThresholdDb,
-      maxSynthMs: Int = 50): DataFrame = {
+      maxSynthMs: Int = 50,
+      codecThresholdsDb: Map[String, Double] = DefaultCodecThresholdsDb)
+      : DataFrame = {
     val sampled =
       if (sampleEvery <= 1) clips
       else clips.where(SampleFilter.hashSampled(col("clip_id"), sampleEvery))
+    val floor = thresholdExpr(col("codec"), snrThresholdDb, codecThresholdsDb)
     sampled
       .join(catalog.withColumnRenamed("transcript", "ref_transcript"),
         Seq("clip_id"), "left_outer")
@@ -57,15 +81,19 @@ object AudioInvariantCheck {
       .select(
         col("clip_id"), col("codec"),
         col("snr_db"),
-        (col("snr_db") >= lit(snrThresholdDb)).as("snr_ok"),
+        floor.as("snr_threshold_db"),
+        (col("snr_db") >= floor).as("snr_ok"),
         (col("transcript") === col("ref_transcript")).as("transcript_ok"))
   }
 
   /** Per-codec pass/fail roll-up of the sampled invariant. */
   def summary(clips: DataFrame, catalog: DataFrame, sampleEvery: Int = 100,
       snrThresholdDb: Double = DefaultSnrThresholdDb,
-      maxSynthMs: Int = 50): DataFrame =
-    check(clips, catalog, sampleEvery, snrThresholdDb, maxSynthMs)
+      maxSynthMs: Int = 50,
+      codecThresholdsDb: Map[String, Double] = DefaultCodecThresholdsDb)
+      : DataFrame =
+    check(clips, catalog, sampleEvery, snrThresholdDb, maxSynthMs,
+      codecThresholdsDb)
       .groupBy(col("codec"))
       .agg(
         count(lit(1)).as("sampled_rows"),

@@ -36,6 +36,11 @@ object ValidationSuite {
       driftCol: String = "dur_ms",
       sampleEvery: Int = 100,
       snrThresholdDb: Double = AudioInvariantCheck.DefaultSnrThresholdDb,
+      /** Per-codec floor overrides (see AudioInvariantCheck
+        * .DefaultCodecThresholdsDb — lossy codecs have intrinsic clean-SNR
+        * ceilings, so the floor is a property of the codec). */
+      codecSnrThresholdsDb: Map[String, Double] =
+        AudioInvariantCheck.DefaultCodecThresholdsDb,
       maxSynthMs: Int = 50,
       referenceDigest: Option[Array[Byte]] = None,
       ksThreshold: Double = 0.1,
@@ -73,6 +78,8 @@ object ValidationSuite {
         DriftCheck.digestInput(col(cfg.driftCol)).as("_drift_val"),
         when(sampled, snr(col(key), col(cfg.payloadCol), col(cfg.codecCol)))
           .as("_snr_db"),
+        AudioInvariantCheck.thresholdExpr(col(cfg.codecCol),
+          cfg.snrThresholdDb, cfg.codecSnrThresholdsDb).as("_snr_floor"),
         col(cfg.transcriptCol).as("_transcript"))
     val narrow = annotated0.select(narrowCols: _*)
 
@@ -96,7 +103,7 @@ object ValidationSuite {
       digestAgg(col("_drift_val")).as("drift_digest"),
       coalesce(sum(when(col("_snr_db").isNotNull, 1L).otherwise(0L)), lit(0L))
         .as("sampled_rows"),
-      coalesce(sum(when(col("_snr_db") < cfg.snrThresholdDb, 1L).otherwise(0L)),
+      coalesce(sum(when(col("_snr_db") < col("_snr_floor"), 1L).otherwise(0L)),
         lit(0L)).as("snr_failures"),
       coalesce(sum(when(col("_snr_db").isNotNull &&
         !(col("_transcript") <=> col("_ref_transcript")), 1L).otherwise(0L)),

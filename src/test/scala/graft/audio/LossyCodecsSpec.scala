@@ -75,21 +75,42 @@ class LossyCodecsSpec extends AnyFunSuite {
     }
   }
 
-  test("IMA ADPCM is real but too lossy for this generator's invariant (documented)") {
-    // why adpcm_ima is NOT a ClipsGenerator label: at the generator's worst
-    // f/sr the codec's step-adaptation lag lands far under the 30 dB
-    // threshold (clean rows would read as corrupt)...
+  test("IMA ADPCM clean SNR clears its per-codec floor but not the global 30 dB") {
+    // why adpcm_ima is validated under a PER-CODEC floor (8 dB, measured —
+    // AdpcmBandSweep): at the generator's worst f/sr the codec's
+    // step-adaptation lag lands far under the 30 dB global threshold, yet
+    // comfortably above its own floor — a clean row is distinguishable
+    // from corruption (<= 2.5 dB) only with the codec-appropriate bound
+    val floor = graft.validate.AudioInvariantCheck
+      .DefaultCodecThresholdsDb("adpcm_ima")
     val hard = sine(997.0, 25, 8000)
     val hardSnr = WavCodec.snrDb(hard,
       AdpcmCodec.decode(AdpcmCodec.encode(8000, hard))._2)
-    assert(hardSnr < 30.0, s"expected sub-invariant SNR, got $hardSnr")
-    // ...while on easy (low f/sr) content it performs like the textbook
-    // codec it is — the implementation, not the content, is the variable
+    assert(hardSnr < 30.0, s"expected sub-30 dB SNR at the hard corner, got $hardSnr")
+    assert(hardSnr >= floor + 4.0,
+      s"clean hard-corner SNR must clear the 8 dB floor with margin, got $hardSnr")
+    // on easy (low f/sr) content it performs like the textbook codec it is
     val easy = sine(220.0, 50, 48000)
     val easySnr = WavCodec.snrDb(easy,
       AdpcmCodec.decode(AdpcmCodec.encode(48000, easy))._2)
     assert(easySnr >= 30.0 && easySnr < WavCodec.MaxSnrDb,
       s"expected >=30 dB on easy content, got $easySnr")
+  }
+
+  test("zeroed back half of an ADPCM payload collapses SNR far below its floor") {
+    // the ClipsGenerator injection shape, at the hot dup-row rate: with
+    // 65-sample blocks the zero region always lands in real nibble data
+    // (never only in block padding — the reason BlockAlign is 36), so a
+    // corrupt row can never decode clean
+    for (sr <- Seq(8000, 16000, 22050, 48000)) {
+      val ref = sine(440.0, 25, sr)
+      val bytes = AdpcmCodec.encode(sr, ref)
+      var k = 44 + (bytes.length - 44) / 2
+      val bad = bytes.clone()
+      while (k < bad.length) { bad(k) = 0; k += 1 }
+      val snr = WavCodec.snrDb(ref, AdpcmCodec.decode(bad)._2)
+      assert(snr < 4.0, s"sr=$sr: expected collapsed SNR, got $snr")
+    }
   }
 
   // ---- container / geometry properties

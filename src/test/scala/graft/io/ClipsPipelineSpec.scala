@@ -34,7 +34,7 @@ class ClipsPipelineSpec extends AnyFunSuite {
     assert(a.clip_id === "clip-000000012345")
     assert(a.transcript === b.transcript)
     assert(java.util.Arrays.equals(a.bytes, b.bytes))
-    // skew axes exist: pcm_s16le ≈ 70%, 16000 Hz ≈ 60%
+    // skew axes exist: pcm_s16le ≈ 65%, 16000 Hz ≈ 60%
     val codecShare = clean.where($"codec" === "pcm_s16le").count().toDouble / N
     assert(codecShare > 0.6 && codecShare < 0.8)
     val srShare = clean.where($"sr_hz" === 16000).count().toDouble / N
@@ -125,7 +125,7 @@ class ClipsPipelineSpec extends AnyFunSuite {
     assert(drift.ks > 0.1)
     // per-group comparison returns one row per codec
     val byCodec = DriftCheck.compareGroups(clean.toDF(), "dur_ms", Seq("codec"), ref)
-    assert(byCodec.count() === 4)
+    assert(byCodec.count() === 5)
     assert(byCodec.where(col("drifted")).count() === 0)
   }
 
@@ -134,9 +134,12 @@ class ClipsPipelineSpec extends AnyFunSuite {
     // sampleEvery=1 checks every row: exact expected failure counts
     val inv = AudioInvariantCheck.check(dirty.toDF(), cat, sampleEvery = 1).cache()
     // corrupted audio at i%5000==17 → 2 rows (SNR of half-zeroed sine << 30)
-    // PLUS the duplicate-id rows (i%5000==11): their bytes don't match the
-    // reference re-synthesized from the CLAIMED id → length mismatch → -inf.
-    // The invariant catching id/content mismatches is exactly the point.
+    // PLUS the duplicate-id rows (i%5000==11): their payload carries the
+    // ORIGINAL index's tone, 1 Hz off the claimed id's reference re-synth
+    // (~21 dB < the 30 dB floor). The invariant catching id/content
+    // mismatches is exactly the point. (At N=10000 none of these four rows
+    // draws the adpcm_ima label, so the per-codec floor doesn't bend the
+    // count — the adpcm dup-pass rule is pinned by its own test below.)
     assert(inv.where(!$"snr_ok").count() === 4)
     // transcript failures: nulled i%1000==7 (10) + perturbed i%5000==19 (2)
     // + catalog-dropped i%1000==3 (10, null ref) + duplicate-id rows whose
@@ -147,15 +150,47 @@ class ClipsPipelineSpec extends AnyFunSuite {
     inv.unpersist()
   }
 
+  test("per-codec floor: a 1 Hz-off adpcm payload passes 8 dB where pcm fails 30 dB") {
+    import graft.audio.{AdpcmCodec, WavCodec}
+    // i=35011 is a REAL generator duplicate index (i%5000==11) whose codec
+    // is adpcm_ima at the sf0.1 scale — the exact row shape where the
+    // per-codec floor changes the verdict: its payload is the clip's own
+    // tone, but the inherited clip_id claims a tone 1 Hz lower, costing
+    // ~21 dB against the re-synthesized reference. Under adpcm_ima's
+    // measured 8 dB floor that PASSES (15.1-19.0 dB band, AdpcmBandSweep);
+    // the identical signal under a pcm label fails the 30 dB default.
+    val i = 35011L
+    val sr = ClipsGenerator.srHz(i)
+    assert(sr === 16000) // dup rows always land on the hot rate
+    val samples = WavCodec.synthSineSamples(ClipsGenerator.freqHz(i), 50, sr)
+    val rows = Seq(
+      Clip(ClipsGenerator.clipId(i - 1), AdpcmCodec.encode(sr, samples), sr,
+        ClipsGenerator.durMs(i), "adpcm_ima", "t"),
+      Clip(ClipsGenerator.clipId(i - 1),
+        WavCodec.synthSine(ClipsGenerator.freqHz(i), 50, sr), sr,
+        ClipsGenerator.durMs(i), "pcm_s16le", "t"))
+    val cat = Seq((ClipsGenerator.clipId(i - 1), "t")).toDF("clip_id", "transcript")
+    val inv = AudioInvariantCheck.check(rows.toDS().toDF(), cat, sampleEvery = 1)
+      .collect().map(r => r.getAs[String]("codec") ->
+        (r.getAs[Double]("snr_db"), r.getAs[Boolean]("snr_ok"))).toMap
+    val (adSnr, adOk) = inv("adpcm_ima")
+    val (pcmSnr, pcmOk) = inv("pcm_s16le")
+    assert(adOk, s"adpcm dup row must pass its 8 dB floor, got $adSnr dB")
+    assert(adSnr > 8.0 && adSnr < 30.0, s"expected the 1 Hz-off band, got $adSnr")
+    assert(!pcmOk, s"pcm dup row must fail the 30 dB floor, got $pcmSnr dB")
+    assert(pcmSnr > 8.0 && pcmSnr < 30.0, s"expected ~21 dB, got $pcmSnr")
+  }
+
   test("checkpoint manifest: resume skips completed, detects content change") {
     val tmp = Files.createTempDirectory("graft-ckpt").toString
     val manifestDir = s"$tmp/manifest"
     val outDir = s"$tmp/out"
     val df = dirty.toDF()
-    // first run: all 4 codec partitions pending
+    // first run: all 5 codec partitions pending
     val done1 = ManifestCheckpoint.runResumable(spark, df, ClipsGenerator.spec,
       manifestDir, outDir)
-    assert(done1.toSet === Set("pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw"))
+    assert(done1.toSet ===
+      Set("pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw", "adpcm_ima"))
     // second run: nothing pending (idempotent resume)
     val done2 = ManifestCheckpoint.runResumable(spark, df, ClipsGenerator.spec,
       manifestDir, outDir)
@@ -169,8 +204,40 @@ class ClipsPipelineSpec extends AnyFunSuite {
     // manifest carries metrics + lineage
     val m = ManifestCheckpoint.latestEntries(
       spark.read.parquet(manifestDir))
-    assert(m.count() === 4)
+    assert(m.count() === 5)
     assert(m.columns.contains("content_hash") && m.columns.contains("error_rows"))
+  }
+
+  test("verbatim-copy append is caught by the row count where the XOR hash cancels") {
+    // the lineage fingerprint is (rows, bit_xor of whole-row hashes). XOR
+    // is blind to any appended MULTISET whose own XOR is zero — the
+    // smallest real case being every appended row arriving TWICE (x ⊕ x
+    // cancels pairwise, so the partition hash comes back unchanged); a
+    // doubled ingest of the same batch is a classic at-least-once-delivery
+    // failure. Only the row count catches that growth — this is why the
+    // fingerprint carries BOTH fields. (A SINGLE verbatim copy of the
+    // partition flips the hash to H ⊕ H = 0 ≠ H, so that case is already
+    // hash-caught; an append of genuinely new rows — q41 act 5 shifts
+    // ids — flips the hash too.)
+    val tmp = Files.createTempDirectory("graft-ckpt-append").toString
+    val df = dirty.toDF()
+    ManifestCheckpoint.runResumable(spark, df, ClipsGenerator.spec,
+      s"$tmp/manifest", s"$tmp/out")
+    val twice = df.where($"codec" === "pcm_mulaw")
+    val grown = df.unionByName(twice).unionByName(twice)
+    val fpBefore = ManifestCheckpoint.fingerprints(df, "codec")
+      .where(col("partition_value") === "pcm_mulaw").collect().head
+    val fpAfter = ManifestCheckpoint.fingerprints(grown, "codec")
+      .where(col("partition_value") === "pcm_mulaw").collect().head
+    assert(fpAfter.getAs[Long]("content_hash") ===
+      fpBefore.getAs[Long]("content_hash"),
+      "a doubled appended batch must cancel in XOR")
+    assert(fpAfter.getAs[Long]("content_rows") ===
+      3 * fpBefore.getAs[Long]("content_rows"))
+    val requeued = ManifestCheckpoint.runResumable(spark, grown,
+      ClipsGenerator.spec, s"$tmp/manifest", s"$tmp/out")
+    assert(requeued === Seq("pcm_mulaw"),
+      s"row-count change must re-queue exactly the grown partition: $requeued")
   }
 
   test("external fingerprint source drives resume (Iceberg metadata-lineage seam)") {

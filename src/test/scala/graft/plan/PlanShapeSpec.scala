@@ -146,7 +146,7 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally sc.clearJobGroup()
     Thread.sleep(500) // status store is fed asynchronously
     val jobs = sc.statusTracker.getJobIdsForGroup("ckpt-jobs").length
-    // 4 codec partitions; the round-1 per-partition loop ran ~2 jobs per
+    // 5 codec partitions; the round-1 per-partition loop ran ~2 jobs per
     // partition (+writes). Batched: pending-scan + violations write +
     // summary/fingerprint agg + manifest append ≈ 4-6 incl. AQE stages.
     assert(jobs > 0 && jobs <= 8, s"expected constant job count, got $jobs")
@@ -173,7 +173,7 @@ class PlanShapeSpec extends AnyFunSuite {
       .filter(_.contains("PartitionFilters")).mkString("\n")
     assert(scanLines.contains("codec"), s"no partition filter:\n$scanLines")
     assert(scanLines.contains("= flac"), scanLines)
-    // and the partition count actually shrinks: 1 of 4 codec dirs selected
+    // and the partition count actually shrinks: 1 of 5 codec dirs selected
     val scan = df.queryExecution.executedPlan.collectFirst {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }

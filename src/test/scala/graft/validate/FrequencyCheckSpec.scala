@@ -48,17 +48,24 @@ class FrequencyCheckSpec extends AnyFunSuite {
     }
   }
 
-  test("verdict margins: legit rows >= 0.999, corrupt decodable rows <= 0.55") {
+  test("verdict margins: legit rows clear per-codec floors, corrupt rows <= 0.6") {
+    // adpcm_ima's 4-bit quantization costs up to ~0.8% of clean-signal
+    // energy (min ratio 0.9925, AdpcmBandSweep); the other codecs stay at
+    // >= 0.999. Both floors sit >= 0.24 above the 0.75 verdict threshold.
     val rows = FrequencyCheck.check(dirty, sampleEvery = 1)
       .withColumn("corrupt",
         expr("CAST(substr(clip_id, 6) AS BIGINT)") % 5000 === 17)
       .where(col("tone_ratio").isNotNull)
-      .groupBy(col("corrupt"))
+      .groupBy(col("corrupt"), (col("codec") === "adpcm_ima").as("adpcm"))
       .agg(min(col("tone_ratio")).as("lo"), max(col("tone_ratio")).as("hi"))
-      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2)))
-      .toMap
-    assert(rows(false)._1 >= 0.999, s"legit min ${rows(false)._1}")
-    assert(rows(true)._2 <= 0.55, s"corrupt max ${rows(true)._2}")
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows((false, false))._1 >= 0.999,
+      s"legit min ${rows((false, false))._1}")
+    assert(rows((false, true))._1 >= 0.99,
+      s"legit adpcm min ${rows((false, true))._1}")
+    rows.collect { case ((true, _), (_, hi)) => hi }.foreach { hi =>
+      assert(hi <= 0.6, s"corrupt max $hi") }
   }
 
   test("a payload too short to window reads as decode failure, not a match") {

@@ -24,7 +24,7 @@ class ValidationSuiteSpec extends AnyFunSuite {
         referenceDigest = Some(ref.toBytes))).cache()
 
     // one row per codec
-    assert(suite.count() === 4)
+    assert(suite.count() === 5)
 
     // row-constraint counts match RowValidator.summary
     val rvSummary = RowValidator.validate(dirty, ClipsGenerator.spec)
