@@ -332,6 +332,55 @@ object Dedup {
       .distinct()
   }
 
+  // -------------------------------------------------------------- cascade
+
+  /** Sequential dedup CASCADE — the composition a real training-data
+    * pipeline runs (exact → minhash → embedding …), not just the stages in
+    * isolation: each stage sees only the SURVIVORS of the previous one, and
+    * the emitted per-stage removal counts are the numbers a data curation
+    * report publishes. Returns one row per stage:
+    * `(stage: string, removed: long, surviving: long)`.
+    *
+    * Each stage is `(name, survivors => idsToRemove)` — the removal frame
+    * needs only the `idCol` column (extra columns are ignored; ids are
+    * deduped and inner-matched against the current survivor set, so a stage
+    * returning ids it was never shown cannot corrupt the count).
+    *
+    * Scale shape: survivor state between stages is an IDS-ONLY frame
+    * (persisted — the wide payload is re-attached per stage via a left-semi
+    * join against the original input, so lineage stays one scan + one
+    * narrow join deep instead of nesting every prior stage's plan). The
+    * per-stage counts are O(stages) driver-side longs — the survivor sets
+    * themselves never leave the cluster; a 100 TB run would persist the id
+    * frames to storage instead of memory, which is a StorageLevel choice,
+    * not a shape change. The stage count (`removed`) is an action per
+    * stage — inherent: stage k+1's INPUT is defined by stage k's output. */
+  def cascade(df: DataFrame, idCol: String,
+      stages: Seq[(String, DataFrame => DataFrame)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var survivorIds = df.select(col(idCol)).persist()
+    var survivingCount = survivorIds.count()
+    val persisted = Seq.newBuilder[DataFrame]
+    persisted += survivorIds
+    val report = Seq.newBuilder[(String, Long, Long)]
+    for ((name, findRemovals) <- stages) {
+      val survivors = df.join(survivorIds, Seq(idCol), "left_semi")
+      val removeIds = findRemovals(survivors).select(col(idCol)).distinct()
+      val keepIds = survivorIds.join(removeIds, Seq(idCol), "left_anti").persist()
+      persisted += keepIds
+      val kept = keepIds.count()
+      report += ((name, survivingCount - kept, kept))
+      survivingCount = kept
+      survivorIds = keepIds
+    }
+    // the report is O(stages) local rows — materialize it, then release the
+    // intermediate id frames
+    val out = report.result().toDF("stage", "removed", "surviving")
+    persisted.result().foreach(_.unpersist())
+    out
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicates via MULTI-TABLE random-hyperplane LSH

@@ -252,4 +252,56 @@ class DedupSpec extends AnyFunSuite {
     assert(parts >= spark.sparkContext.defaultParallelism / 2,
       s"scan input stayed at $parts partitions")
   }
+
+  test("cascade threads survivors: each stage sees only what the last kept") {
+    // doc 2 is an exact dup of 1 (stage 1 removes it) AND a near-dup of 3
+    // (stage 2 would also flag it) — the cascade must remove it ONCE, at
+    // the first stage, and stage 2 must then pair 3 only against 1.
+    // Stage 3 receives an id already removed at stage 1 (2L) plus an id it
+    // was never shown (99L): both must be ignored by the inner match.
+    val report = Dedup.cascade(docs, "doc_id", Seq(
+      "exact" -> (sv => sv.join(
+        Dedup.exactKeep(sv, "doc_id", "text").select("doc_id"),
+        Seq("doc_id"), "left_anti")),
+      "near" -> (sv => Dedup.minhashNearDups(sv, "doc_id", "text",
+        threshold = 0.55, maxBucketSize = Int.MaxValue)
+        .select(col("id_b").as("doc_id"))),
+      "noisy" -> (sv => Seq(2L, 99L).toDF("doc_id"))))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("removed"), r.getAs[Long]("surviving"))).toMap
+    // input {1,2,3,4,5}: exact removes {2,5} (fp groups {1,2,5}), near
+    // removes 3 (pair 1-3: one word of 14 differs → trigram jaccard
+    // 9/15 = 0.6 ≥ 0.55; threshold sits above the 0.5 of the case-variant
+    // pair 1-5, which stage 1 already removed anyway), the noisy stage
+    // removes nothing
+    assert(report("exact") === ((2L, 3L)), report.toString)
+    assert(report("near") === ((1L, 2L)), report.toString)
+    assert(report("noisy") === ((0L, 2L)), report.toString)
+  }
+
+  test("cascade stage order changes who survives (composition is real)") {
+    // run the same two stages in both orders over docs: exact-first keeps
+    // {1, 4} ∪ near-survivors; near-first lets the near stage see the
+    // exact dups (2 pairs with 1 at jaccard 1.0) before exact dedup runs
+    val exactStage = "exact" -> ((sv: org.apache.spark.sql.DataFrame) =>
+      sv.join(Dedup.exactKeep(sv, "doc_id", "text").select("doc_id"),
+        Seq("doc_id"), "left_anti"))
+    val nearStage = "near" -> ((sv: org.apache.spark.sql.DataFrame) =>
+      Dedup.minhashNearDups(sv, "doc_id", "text",
+        threshold = 0.55, maxBucketSize = Int.MaxValue)
+        .select(col("id_b").as("doc_id")))
+    val a = Dedup.cascade(docs, "doc_id", Seq(exactStage, nearStage))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("removed")).toMap
+    val b = Dedup.cascade(docs, "doc_id", Seq(nearStage, exactStage))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("removed")).toMap
+    // exact-first: exact removes {2,5}, near removes {3}. near-first: the
+    // near stage sees the exact dups too and removes {2,3} (jaccard 1.0
+    // and 0.6 vs doc 1; the case-variant 5 sits at 0.5 < 0.55 — shingles
+    // are case-sensitive, fingerprints are not), leaving exact to remove
+    // {5}. Same final survivor count, different per-stage attribution —
+    // which is the composition fact a report must get right.
+    assert(a("exact") + a("near") === b("near") + b("exact"))
+    assert(a("exact") === 2L && b("exact") === 1L,
+      s"near-first must steal removals from the exact stage: $a vs $b")
+  }
 }

@@ -135,6 +135,37 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-row data entered the census exchange: $shuffles")
   }
 
+  test("cross-modal check reads two narrow columns — payload never scanned") {
+    val clips = spark.read.parquet(clipsPath)
+    val plan = planString(graft.validate.CrossModalCheck.summary(
+      clips, Seq("codec")))
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(reads.nonEmpty)
+    // the whole check is transcript × dur_ms (+ the group column): a scan
+    // that also reads `bytes` would turn a metadata check into a full
+    // 100 TB payload read
+    assert(!reads.exists(_.contains("bytes")),
+      s"payload column entered the cross-modal scan:\n${reads.mkString("\n")}")
+    assert(reads.exists(r => r.contains("transcript") && r.contains("dur_ms")),
+      reads.mkString("\n"))
+  }
+
+  test("categorical drift shuffles counts per (group, category), never rows") {
+    val clips = spark.read.parquet(clipsPath)
+    val shifted = clips.withColumn("codec",
+      when(col("sr_hz") === 16000, lit("flac")).otherwise(col("codec")))
+    val shuffles = shuffleOutputs(
+      graft.validate.DriftCheck.categoricalCompare(
+        clips, shifted, "codec", Seq("sr_hz")))
+    assert(shuffles.nonEmpty)
+    // every exchange must carry either partial counts or the tiny
+    // (group × category) grid — a row-carrying column (clip_id, bytes,
+    // transcript) in any shuffle means the mix monitor stopped scaling
+    assert(!shuffles.exists(s =>
+      s.contains("bytes") || s.contains("clip_id") || s.contains("transcript")),
+      s"row-level data entered a categorical-drift exchange: $shuffles")
+  }
+
   test("checkpoint resume runs a constant number of jobs (batched, not per-partition)") {
     val sc = spark.sparkContext
     val tmp = Files.createTempDirectory("graft-ckpt-jobs").toString
