@@ -107,11 +107,16 @@ object ManifestCheckpoint {
 
   /** Diff a current fingerprint frame (partition_value, content_rows,
     * content_hash) against the manifest: partitions with no entry or a
-    * changed fingerprint still need validation. */
+    * changed fingerprint still need validation. Returns the CURRENT
+    * fingerprint alongside each pending partition so the caller can write
+    * manifest entries from the exact values the skip decision was made on —
+    * recomputing them later would cost a second full-width scan (the hash
+    * covers every column, including payload bytes the validation itself
+    * never reads) and could diverge from the diff basis. */
   private[checkpoint] def pendingAgainstManifest(spark: SparkSession,
-      current: DataFrame, manifestDir: String): Seq[String] =
-    readManifest(spark, manifestDir) match {
-      case None => current.select("partition_value").collect().map(_.getString(0)).toSeq
+      current: DataFrame, manifestDir: String): Seq[(String, Long, Long)] = {
+    val needed = readManifest(spark, manifestDir) match {
+      case None => current
       case Some(m) =>
         val done = latestEntries(m)
           .select(col("partition_value"), col("content_rows").as("m_rows"),
@@ -120,14 +125,18 @@ object ManifestCheckpoint {
           .where(col("m_rows").isNull ||
             col("m_rows") =!= col("content_rows") ||
             col("m_hash") =!= col("content_hash"))
-          .select("partition_value").collect().map(_.getString(0)).toSeq
     }
+    needed.select("partition_value", "content_rows", "content_hash")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+  }
 
   /** Partition values that still need validation: no manifest entry, or
     * content fingerprint changed since the recorded run. */
   def pendingPartitions(spark: SparkSession, df: DataFrame,
       partitionCol: String, manifestDir: String): Seq[String] =
     pendingAgainstManifest(spark, fingerprints(df, partitionCol), manifestDir)
+      .map(_._1)
 
   /** Validate only pending partitions; write violations under
     * `outDir/violations/partition_value=<v>/` and append manifest entries.
@@ -144,6 +153,14 @@ object ManifestCheckpoint {
     * fingerprint together — a constant number of jobs regardless of
     * partition count (the per-partition loop ran ~2 jobs × N partitions,
     * serially: ~2000 jobs at 1000 partitions). */
+  /** Upper pending-set size for fusing the per-partition metrics into the
+    * violations-write job as `observe` aggregates (two conditional sums per
+    * pending partition ride the write's single pass — zero extra scans).
+    * Past this, the conditional-sum fan-out stops being free and the
+    * metrics fall back to one grouped aggregation over the slice (still
+    * narrow: the lineage hash is NOT recomputed there, see below). */
+  private val ObserveFuseMaxPartitions = 64
+
   def runResumable(spark: SparkSession, df: DataFrame, spec: TableSpec,
       manifestDir: String, outDir: String,
       fingerprintSource: Option[() => DataFrame] = None): Seq[String] = {
@@ -159,16 +176,36 @@ object ManifestCheckpoint {
     // SAME source must feed both the pending diff and the entries written
     // below — mixing bases would re-queue everything on every run.
     val currentFps = fingerprintSource.map(_())
-    val pending = currentFps match {
-      case Some(fps) => pendingAgainstManifest(spark, fps, manifestDir)
-      case None => pendingPartitions(spark, df, partCol, manifestDir)
-    }
+    val pendingFps = pendingAgainstManifest(spark,
+      currentFps.getOrElse(fingerprints(df, partCol)), manifestDir)
+    val pending = pendingFps.map(_._1)
     if (pending.isEmpty) return pending
     // filter on the SAME key expression the fingerprint uses (stringified,
     // NULL → sentinel), so non-string or NULL partition values can't
     // silently mismatch the manifest entries they produced
-    val slice = df.where(partitionKey(partCol).isin(pending: _*))
-    val run = RowValidator.validate(slice, spec)
+    val pk = partitionKey(partCol)
+    val slice = df.where(pk.isin(pending: _*))
+    val run0 = RowValidator.validate(slice, spec)
+    val failed = filter(col(RowValidator.ViolationsCol), _.isNotNull)
+    // Per-partition metrics ride the violations write as observe aggregates
+    // when the pending set is small (the common resume case — two
+    // conditional sums per partition on the write's single pass); past
+    // ObserveFuseMaxPartitions they fall back to one grouped aggregation
+    // over the slice. Neither path recomputes the content hash: lineage
+    // comes from the SAME fingerprint values the pending diff was decided
+    // on, so the full-width row hash (the only reader of payload bytes in
+    // this whole routine) runs exactly once per resume.
+    val observed =
+      if (pending.size <= ObserveFuseMaxPartitions) {
+        val obs = org.apache.spark.sql.Observation()
+        val aggs = pending.zipWithIndex.flatMap { case (p, i) => Seq(
+          sum(when(pk === lit(p), 1L).otherwise(0L)).as(s"total_$i"),
+          sum(when(pk === lit(p) && size(failed) > 0, 1L).otherwise(0L))
+            .as(s"errors_$i")) }
+        Some((obs, run0.copy(annotated =
+          run0.annotated.observe(obs, aggs.head, aggs.tail: _*))))
+      } else None
+    val run = observed.map(_._2).getOrElse(run0)
     // dynamic partition overwrite only replaces partitions that PRODUCE
     // rows — a re-validated partition whose violations went to zero would
     // keep its stale files. Clear every pending partition's dir first so
@@ -194,38 +231,39 @@ object ManifestCheckpoint {
       .option("partitionOverwriteMode", "dynamic") // only pending dirs replaced
       .partitionBy("partition_value")
       .parquet(s"$outDir/violations")
-    val failed = filter(col(RowValidator.ViolationsCol), _.isNotNull)
     val now = System.currentTimeMillis()
-    // same whole-row hash as fingerprints() — over the ORIGINAL columns
-    // only (the annotation column must not enter the fingerprint)
-    val allCols = df.columns.map(c => s"`$c`").mkString(", ")
-    val metrics = run.annotated
-      .groupBy(partitionKey(partCol).as("partition_value"))
-      .agg(
-        count(lit(1)).as("total_rows"),
-        coalesce(sum(when(size(failed) > 0, 1L).otherwise(0L)), lit(0L))
-          .as("error_rows"),
-        // data-basis hash, fused into the metrics pass (no extra scan);
-        // unused (and replaced) when an external fingerprint source is
-        // the lineage basis
-        expr(s"bit_xor(xxhash64($allCols))").as("content_hash"))
-    val withLineage = currentFps match {
-      case None => metrics.withColumn("content_rows", col("total_rows"))
-      case Some(fps) => // metadata basis: lineage columns come from the source
-        metrics.drop("content_hash")
-          .join(fps.select(col("partition_value"), col("content_rows"),
-            col("content_hash")), Seq("partition_value"))
+    // Per-partition (total, errors): from the Observation the write just
+    // fired (zero extra jobs), or — past the fuse cap — one grouped
+    // aggregation over the slice reading only the partition key and the
+    // violations annotation (payload columns pruned).
+    val counts: Seq[(String, Long, Long)] = observed match {
+      case Some((obs, _)) =>
+        val m = obs.get
+        pending.zipWithIndex.map { case (p, i) =>
+          // sums are NULL only if the whole slice is empty (possible only
+          // on a metadata-basis fingerprint naming a partition with no
+          // rows) — record zeros so the partition still completes
+          def n(k: String) = Option(m(k)).fold(0L)(_.asInstanceOf[Long])
+          (p, n(s"total_$i"), n(s"errors_$i"))
+        }
+      case None =>
+        run.annotated
+          .groupBy(pk.as("partition_value"))
+          .agg(count(lit(1)).as("total_rows"),
+            coalesce(sum(when(size(failed) > 0, 1L).otherwise(0L)), lit(0L))
+              .as("error_rows"))
+          .collect() // O(#pending partitions) — driver-safe by construction
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     }
-    val entries = withLineage
-      .collect() // O(#pending partitions) rows — driver-safe by construction
-      .map { r =>
-        val total = r.getAs[Long]("total_rows")
-        val errors = r.getAs[Long]("error_rows")
-        ManifestEntry(r.getAs[String]("partition_value"),
-          r.getAs[Long]("content_rows"), r.getAs[Long]("content_hash"),
-          total, errors, total - errors, now)
-      }
-    entries.toSeq.toDF().write.mode(SaveMode.Append).parquet(manifestDir)
+    // lineage columns come verbatim from the fingerprints the pending diff
+    // was decided on (data-basis and metadata-basis alike)
+    val fpByPartition =
+      pendingFps.map { case (p, rows, hash) => p -> (rows, hash) }.toMap
+    val entries = counts.map { case (p, total, errors) =>
+      val (cRows, cHash) = fpByPartition(p)
+      ManifestEntry(p, cRows, cHash, total, errors, total - errors, now)
+    }
+    entries.toDF().write.mode(SaveMode.Append).parquet(manifestDir)
     pending
   }
 }
