@@ -346,39 +346,48 @@ object Dedup {
     * deduped and inner-matched against the current survivor set, so a stage
     * returning ids it was never shown cannot corrupt the count).
     *
-    * Scale shape: survivor state between stages is an IDS-ONLY frame
-    * (persisted — the wide payload is re-attached per stage via a left-semi
-    * join against the original input, so lineage stays one scan + one
-    * narrow join deep instead of nesting every prior stage's plan). The
-    * per-stage counts are O(stages) driver-side longs — the survivor sets
-    * themselves never leave the cluster; a 100 TB run would persist the id
-    * frames to storage instead of memory, which is a StorageLevel choice,
-    * not a shape change. The stage count (`removed`) is an action per
-    * stage — inherent: stage k+1's INPUT is defined by stage k's output. */
+    * Scale shape: survivor state between stages is an IDS-ONLY frame,
+    * materialized per stage with an eager `localCheckpoint` — which both
+    * stores the ids AND TRUNCATES LINEAGE. The truncation is load-bearing,
+    * not an optimization nicety: a `persist`ed id frame keeps the full
+    * logical plan, so stage k's survivor frame nests every prior stage's
+    * joins/aggregations, and under AQE each reference re-plans (and can
+    * re-execute) that whole nested tree — measured 63 s vs 10 s for the
+    * three-stage q44 cascade at sf0.01, a gap that GROWS with stage count.
+    * This is the standard iterative-algorithm discipline (MLlib/GraphX
+    * checkpoint for the same reason). The wide payload is re-attached per
+    * stage via a left-semi join against the original input; per-stage
+    * counts are O(stages) driver-side longs. Trade: localCheckpoint blocks
+    * are not fault-tolerant (an executor loss fails the job instead of
+    * recomputing) — acceptable for an idempotent report query; a 100 TB
+    * run wanting mid-cascade fault tolerance sets
+    * `spark.checkpoint.dir` and swaps in reliable `checkpoint()`, a
+    * one-line StorageLevel-style choice, not a shape change. Checkpoint
+    * blocks are released by the ContextCleaner once the returned report
+    * (a local frame) drops the references. The stage count (`removed`) is
+    * an action per stage — inherent: stage k+1's INPUT is defined by
+    * stage k's output. */
   def cascade(df: DataFrame, idCol: String,
       stages: Seq[(String, DataFrame => DataFrame)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var survivorIds = df.select(col(idCol)).persist()
+    var survivorIds = df.select(col(idCol)).localCheckpoint()
     var survivingCount = survivorIds.count()
-    val persisted = Seq.newBuilder[DataFrame]
-    persisted += survivorIds
     val report = Seq.newBuilder[(String, Long, Long)]
     for ((name, findRemovals) <- stages) {
       val survivors = df.join(survivorIds, Seq(idCol), "left_semi")
-      val removeIds = findRemovals(survivors).select(col(idCol)).distinct()
-      val keepIds = survivorIds.join(removeIds, Seq(idCol), "left_anti").persist()
-      persisted += keepIds
+      // no distinct() on the removal ids: left_anti matches set-wise, so
+      // duplicate ids cannot double-remove — and the distinct would be one
+      // more shuffle per stage
+      val removeIds = findRemovals(survivors).select(col(idCol))
+      val keepIds = survivorIds.join(removeIds, Seq(idCol), "left_anti")
+        .localCheckpoint()
       val kept = keepIds.count()
       report += ((name, survivingCount - kept, kept))
       survivingCount = kept
       survivorIds = keepIds
     }
-    // the report is O(stages) local rows — materialize it, then release the
-    // intermediate id frames
-    val out = report.result().toDF("stage", "removed", "surviving")
-    persisted.result().foreach(_.unpersist())
-    out
+    report.result().toDF("stage", "removed", "surviving")
   }
 
   // ------------------------------------------------- embedding near-dup
