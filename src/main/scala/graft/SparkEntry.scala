@@ -783,6 +783,46 @@ object SparkEntry {
       val n = clipCount(dir)
       CrossModalCheck.summary(OracleTables.clips(s, n), Seq("codec"))
     }),
+
+    // Benchmark DECONTAMINATION (training-data hygiene): flag corpus docs
+    // sharing any word 5-gram with a benchmark suite. The suite here is 10
+    // docs drawn by id residue (doc_id % 50 = 7) — each flags itself
+    // (verbatim containment) and drags in its near-duplicates (the
+    // generator's planted near-dup family shares long n-grams), so the
+    // output exercises both the "exact leak" and the "mutated leak" case.
+    // Corpus side is one scan, no shuffle (broadcast suite); see
+    // Dedup.decontaminate.
+    "q47_decontamination" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.where(col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Dedup.decontaminate(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 5)
+    }),
+
+    // Deterministic split + stratified sample (training-data pipelines
+    // need REPRODUCIBLE train/val/test membership and per-stratum sampling
+    // that survives appends and cluster-size changes — seed-based
+    // Dataset.sample gives neither). Membership is a pure function of
+    // clip_id through an md5-derived 60-bit uniform, one salt per decision
+    // so sample membership can't predict split. All fractions dyadic
+    // (cumulative edges exact in binary), so the oracle reproduces every
+    // row's membership bit-for-bit from the same arithmetic. Scan-only:
+    // the counts are the only thing that ever enters an exchange.
+    "q48_split_sample" -> ((s, dir) => {
+      import graft.sample.Sampling
+      val n = clipCount(dir)
+      val clips = OracleTables.clips(s, n)
+      val withSplit = Sampling.assignSplits(clips, "clip_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      val flag = Sampling.sampleFlag(clips, "clip_id", "codec",
+        Map("flac" -> 0.5, "pcm_mulaw" -> 0.25), defaultRate = 0.0625)
+      withSplit.groupBy(col("codec"), col("split"))
+        .agg(count(lit(1)).as("total_rows"),
+          coalesce(sum(when(flag, 1L).otherwise(0L)), lit(0L))
+            .as("sampled_rows"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1454,6 +1494,56 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN wps IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          |    AS unscorable_rows
          |FROM c GROUP BY codec""".stripMargin,
+
+    // word 5-gram overlap against the 10-doc benchmark suite — the q31
+    // shingle recipe (whole-text fallback under 5 tokens), then a plain
+    // ngram equijoin + two COUNT(DISTINCT)s
+    "q47_decontamination" ->
+      s"""WITH t AS (
+         | SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5
+         |   THEN [array_to_string(toks, ' ')]
+         |   ELSE list_transform(generate_series(1, len(toks) - 4),
+         |          i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+         | FROM t
+         |), cng AS (
+         | SELECT doc_id, unnest(sh) AS ng FROM s
+         |), bng AS (
+         | SELECT DISTINCT bench_id, ng FROM
+         |   (SELECT doc_id AS bench_id, unnest(sh) AS ng FROM s
+         |    WHERE doc_id % 50 = 7)
+         |)
+         |SELECT c.doc_id,
+         |  COUNT(DISTINCT b.bench_id) AS benchmarks_hit,
+         |  COUNT(DISTINCT c.ng) AS ngrams_hit
+         |FROM cng c JOIN bng b ON c.ng = b.ng
+         |GROUP BY c.doc_id""".stripMargin,
+
+    // md5-derived 60-bit uniform (the q15 hex recipe), one salt per
+    // decision; dyadic band edges and rates make every membership compare
+    // exact in double on both engines
+    "q48_split_sample" ->
+      s"""WITH u AS (
+         | SELECT codec,
+         |   CAST(CONCAT('0x', substr(md5(clip_id || ':split'), 1, 15))
+         |     AS BIGINT) / 1152921504606846976.0 AS u_split,
+         |   CAST(CONCAT('0x', substr(md5(clip_id || ':sample'), 1, 15))
+         |     AS BIGINT) / 1152921504606846976.0 AS u_sample
+         | FROM $clips
+         |), labeled AS (
+         | SELECT codec,
+         |   CASE WHEN u_split < 0.75 THEN 'train'
+         |        WHEN u_split < 0.875 THEN 'val'
+         |        WHEN u_split < 1.0 THEN 'test' END AS split,
+         |   CASE WHEN u_sample < (CASE WHEN codec = 'flac' THEN 0.5
+         |     WHEN codec = 'pcm_mulaw' THEN 0.25 ELSE 0.0625 END)
+         |     THEN 1 ELSE 0 END AS sampled
+         | FROM u
+         |)
+         |SELECT codec, split, COUNT(*) AS total_rows,
+         |  CAST(SUM(sampled) AS BIGINT) AS sampled_rows
+         |FROM labeled GROUP BY codec, split""".stripMargin,
     )
   }
 }

@@ -332,6 +332,42 @@ object Dedup {
       .distinct()
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Benchmark/test-set DECONTAMINATION — flag corpus documents sharing any
+    * word n-gram with a benchmark suite (the training-data hygiene step that
+    * keeps eval answers out of the training set; the standard recipe is
+    * exact n-gram overlap at n≈8-13). Returns one row per contaminated
+    * corpus doc: `(idCol, benchmarks_hit, ngrams_hit)` — how many distinct
+    * benchmark entries it collides with and on how many distinct n-grams.
+    * Texts shorter than `n` tokens contribute their whole text as a single
+    * shingle ([[shingles]] semantics), so a verbatim short benchmark prompt
+    * still matches.
+    *
+    * Scale shape: the benchmark side is exploded to DISTINCT
+    * (bench_id, ngram) pairs and BROADCAST — a benchmark suite is small by
+    * definition (and deliberately forced: a shuffle join here would
+    * repartition the exploded corpus, n× the corpus token volume). The
+    * corpus side is a scan-only projection to (id, ngram) — the payload
+    * never enters any exchange — filtered map-side by the broadcast hash
+    * join; only MATCHED triples (rare by construction: random 8-gram
+    * collisions are negligible) reach the grouped aggregation. One corpus
+    * scan total, no corpus shuffle. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8): DataFrame = {
+    val bng = broadcast(benchmark
+      .select(col(benchIdCol).as("_bench_id"),
+        explode(shingleSet(col(benchTextCol), n)).as("_ng"))
+      .distinct())
+    val cng = ensureParallelism(corpus)
+      .select(col(idCol), explode(shingleSet(col(textCol), n)).as("_ng"))
+    cng.join(bng, Seq("_ng"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("_bench_id")).as("benchmarks_hit"),
+        countDistinct(col("_ng")).as("ngrams_hit"))
+  }
+
   // -------------------------------------------------------------- cascade
 
   /** Sequential dedup CASCADE — the composition a real training-data

@@ -304,4 +304,28 @@ class DedupSpec extends AnyFunSuite {
     assert(a("exact") === 2L && b("exact") === 1L,
       s"near-first must steal removals from the exact stage: $a vs $b")
   }
+
+  test("decontaminate flags n-gram overlap with a benchmark suite") {
+    // suite = doc 1's text plus a short prompt under 4 tokens (whole-text
+    // shingle fallback must still match doc 6). Mutated leaks — the
+    // near-dup 3 AND the case-variant 5 (shingles are case-sensitive, but
+    // only its leading words differ) — must flag on their shared tail
+    // n-grams: catching partial leaks is the point of the n-gram form.
+    val corpus = docs.unionByName(Seq((6L, "tiny prompt here")).toDF("doc_id", "text"))
+    val bench = Seq((100L, base), (101L, "tiny prompt here")).toDF("bench_id", "btext")
+    val hits = Dedup.decontaminate(corpus, "doc_id", "text",
+      bench, "bench_id", "btext", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("benchmarks_hit"), r.getAs[Long]("ngrams_hit"))).toMap
+    assert(hits.keySet === Set(1L, 2L, 3L, 5L, 6L),
+      s"verbatim (1,2), mutated (3,5), short-prompt (6) — got $hits")
+    assert(hits(1L) === ((1L, 11L))) // 14 tokens → 11 4-grams, all matched
+    assert(hits(3L)._2 === 7L) // one mid-text token edit kills 4 of 11
+    assert(hits(5L)._2 === 7L) // leading-case edit kills the first 4
+    assert(hits(6L) === ((1L, 1L))) // whole-text fallback shingle
+    // a clean corpus against the same suite flags nothing
+    assert(Dedup.decontaminate(
+      Seq((9L, other)).toDF("doc_id", "text"),
+      "doc_id", "text", bench, "bench_id", "btext", n = 4).count() === 0L)
+  }
 }

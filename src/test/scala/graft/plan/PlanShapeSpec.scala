@@ -166,6 +166,48 @@ class PlanShapeSpec extends AnyFunSuite {
       s"row-level data entered a categorical-drift exchange: $shuffles")
   }
 
+  test("decontamination never shuffles the corpus — broadcast suite, matched triples only") {
+    // pre-parallelized corpus (localCheckpoint = leaf plan with 8
+    // partitions): the scale case, where ensureParallelism's small-input
+    // rebalance — the one exchange ALLOWED to carry text — is a no-op
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").repartition(8).localCheckpoint()
+    val bench = docs.where(col("doc_id") % 50 === 7)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val shuffles = shuffleOutputs(Dedup.decontaminate(docs, "doc_id", "text",
+      bench, "bench_id", "text", n = 5))
+    // the corpus join must be a broadcast hash join: the only exchanges
+    // allowed are (a) inside the SMALL benchmark side pre-broadcast and
+    // (b) the post-match grouped aggregation — neither may carry `text`
+    // (an exploded-corpus text shuffle is n× the corpus volume)
+    assert(!shuffles.exists(_.contains("text")),
+      s"corpus text entered a decontamination exchange: $shuffles")
+    assert(shuffles.exists(_.exists(_.startsWith("doc_id"))),
+      s"expected the matched-triples aggregation exchange: $shuffles")
+  }
+
+  test("split+sample summary is scan-only: counts are the only exchange") {
+    import graft.sample.Sampling
+    val clips = spark.read.parquet(clipsPath)
+    val withSplit = Sampling.assignSplits(clips, "clip_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val flag = Sampling.sampleFlag(clips, "clip_id", "codec",
+      Map("flac" -> 0.5), defaultRate = 0.0625)
+    val shuffles = shuffleOutputs(
+      withSplit.groupBy(col("codec"), col("split"))
+        .agg(count(lit(1)).as("total_rows"),
+          sum(when(flag, 1L).otherwise(0L)).as("sampled_rows")))
+    // one partial-agg exchange keyed (codec, split); no row-level column
+    assert(shuffles.nonEmpty)
+    assert(!shuffles.exists(s =>
+      s.contains("bytes") || s.contains("clip_id") || s.contains("transcript")),
+      s"row-level data entered the split/sample summary exchange: $shuffles")
+    // and the underlying membership filter is a pure scan: zero exchanges
+    assert(shuffleOutputs(Sampling.stratifiedSample(clips, "clip_id",
+      "codec", Map("flac" -> 0.5), 0.0625)).isEmpty,
+      "stratifiedSample must not shuffle — it is a per-row filter")
+  }
+
   test("checkpoint resume runs a constant number of jobs (batched, not per-partition)") {
     val sc = spark.sparkContext
     val tmp = Files.createTempDirectory("graft-ckpt-jobs").toString
