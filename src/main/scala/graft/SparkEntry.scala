@@ -729,14 +729,19 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val emb = tbl(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      // plant id offsets sit far above any real doc_id at every test scale
+      // (documents grows ~50k rows per sf unit; 1e8/2e8 keeps the ids
+      // collision-free to ~sf2000 — a colliding offset would silently turn
+      // the id-based anti-joins into double-removals)
       val exactCopies = docs.where(col("doc_id") < 10)
-        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-      val plantedDocs = s.range(20).select((col("id") + 100000L).as("doc_id"),
-        concat(lit("planteddoc"), col("id").cast(StringType)).as("text"))
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text"))
+      val plantedDocs = s.range(20)
+        .select((col("id") + 200000000L).as("doc_id"),
+          concat(lit("planteddoc"), col("id").cast(StringType)).as("text"))
       val corpus = docs.select("doc_id", "text")
         .unionByName(exactCopies).unionByName(plantedDocs)
       val plantedVecs = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 100000L).as("vec_id"),
+        .select((col("vec_id") + 200000000L).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.03d)).as("embedding"))
       val vectors = emb.unionByName(plantedVecs)
       Dedup.cascade(corpus, "doc_id", Seq(
@@ -785,8 +790,10 @@ object SparkEntry {
     }),
 
     // Benchmark DECONTAMINATION (training-data hygiene): flag corpus docs
-    // sharing any word 5-gram with a benchmark suite. The suite here is 10
-    // docs drawn by id residue (doc_id % 50 = 7) — each flags itself
+    // sharing any word 5-gram with a benchmark suite. The suite is a FIXED
+    // 10 docs (id residue 7 mod 50, capped below 500 so its size does not
+    // grow with the corpus — a benchmark suite is constant-size, which is
+    // what makes the broadcast bound unconditional) — each flags itself
     // (verbatim containment) and drags in its near-duplicates (the
     // generator's planted near-dup family shares long n-grams), so the
     // output exercises both the "exact leak" and the "mutated leak" case.
@@ -795,7 +802,7 @@ object SparkEntry {
     "q47_decontamination" -> ((s, dir) => {
       import graft.dedup.Dedup
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
-      val bench = docs.where(col("doc_id") % 50 === 7)
+      val bench = docs.where(col("doc_id") < 500 && col("doc_id") % 50 === 7)
         .select(col("doc_id").as("bench_id"), col("text"))
       Dedup.decontaminate(docs, "doc_id", "text",
         bench, "bench_id", "text", n = 5)
@@ -1385,14 +1392,14 @@ object SparkEntry {
       """WITH base AS (
         | SELECT doc_id, text FROM documents
         | UNION ALL
-        | SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 10
+        | SELECT doc_id + 100000000 AS doc_id, text FROM documents WHERE doc_id < 10
         | UNION ALL
-        | SELECT 100000 + i AS doc_id, concat('planteddoc', i) AS text
+        | SELECT 200000000 + i AS doc_id, concat('planteddoc', i) AS text
         | FROM (SELECT unnest(generate_series(0, 19)) AS i)
         |), vec AS (
         | SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         | UNION ALL
-        | SELECT vec_id + 100000 AS vec_id,
+        | SELECT vec_id + 200000000 AS vec_id,
         |   list_transform(embedding::DOUBLE[], x -> x + 0.03) AS v
         | FROM embeddings WHERE vec_id < 20
         |), s1 AS (
@@ -1512,7 +1519,7 @@ object SparkEntry {
          |), bng AS (
          | SELECT DISTINCT bench_id, ng FROM
          |   (SELECT doc_id AS bench_id, unnest(sh) AS ng FROM s
-         |    WHERE doc_id % 50 = 7)
+         |    WHERE doc_id < 500 AND doc_id % 50 = 7)
          |)
          |SELECT c.doc_id,
          |  COUNT(DISTINCT b.bench_id) AS benchmarks_hit,

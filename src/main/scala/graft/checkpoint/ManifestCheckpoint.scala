@@ -255,12 +255,16 @@ object ManifestCheckpoint {
           .collect() // O(#pending partitions) — driver-safe by construction
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     }
-    // lineage columns come verbatim from the fingerprints the pending diff
-    // was decided on (data-basis and metadata-basis alike)
-    val fpByPartition =
-      pendingFps.map { case (p, rows, hash) => p -> (rows, hash) }.toMap
-    val entries = counts.map { case (p, total, errors) =>
-      val (cRows, cHash) = fpByPartition(p)
+    // Entries are built from the PENDING set, not from the counts frame: a
+    // pending partition with zero rows in the slice (possible only on a
+    // metadata-basis fingerprint naming a partition whose data is gone)
+    // produces no grouped-agg row — keying off counts would then write no
+    // entry and re-queue it forever. Lineage columns come verbatim from
+    // the fingerprints the pending diff was decided on (both bases).
+    val countByPartition =
+      counts.map { case (p, t, e) => p -> (t, e) }.toMap
+    val entries = pendingFps.map { case (p, cRows, cHash) =>
+      val (total, errors) = countByPartition.getOrElse(p, (0L, 0L))
       ManifestEntry(p, cRows, cHash, total, errors, total - errors, now)
     }
     entries.toDF().write.mode(SaveMode.Append).parquet(manifestDir)

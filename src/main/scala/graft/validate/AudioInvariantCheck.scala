@@ -70,8 +70,7 @@ object AudioInvariantCheck {
       codecThresholdsDb: Map[String, Double] = DefaultCodecThresholdsDb)
       : DataFrame = {
     val sampled =
-      if (sampleEvery <= 1) clips
-      else clips.where(SampleFilter.hashSampled(col("clip_id"), sampleEvery))
+      clips.where(SampleFilter.sampledOrAll(col("clip_id"), sampleEvery))
     val floor = thresholdExpr(col("codec"), snrThresholdDb, codecThresholdsDb)
     sampled
       .join(catalog.withColumnRenamed("transcript", "ref_transcript"),

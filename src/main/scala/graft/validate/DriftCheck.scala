@@ -220,8 +220,29 @@ object DriftCheck {
         .agg(count(lit(1)).as(n))
     }
     val wTot = Window.partitionBy(gCols.map(col): _*)
-    val grid = counts(reference, "_ref_n")
-      .join(counts(current, "_cur_n"), gCols :+ "_cat", "full_outer")
+    // NULL-SAFE join keys: a plain equi-join never matches NULL = NULL, so
+    // a NULL category (or group value) present on BOTH sides would split
+    // into a ref-only and a cur-only grid row — inflating the shift and
+    // double-counting the category, the opposite of the documented "a NULL
+    // category is its own category" contract
+    // keys renamed per side (index-suffixed) rather than dataframe-
+    // qualified: reference and current may be the SAME Dataset (self-
+    // comparison), where qualified refs are ambiguous
+    val keys = gCols :+ "_cat"
+    val ki = keys.zipWithIndex
+    val refC = counts(reference, "_ref_n")
+      .select(ki.map { case (k, i) => col(k).as(s"_rk$i") } :+ col("_ref_n"): _*)
+    val curC = counts(current, "_cur_n")
+      .select(ki.map { case (k, i) => col(k).as(s"_ck$i") } :+ col("_cur_n"): _*)
+    val joined = refC
+      .join(curC,
+        ki.map { case (_, i) => col(s"_rk$i") <=> col(s"_ck$i") }
+          .reduce(_ && _),
+        "full_outer")
+      .select(ki.map { case (k, i) =>
+        coalesce(col(s"_rk$i"), col(s"_ck$i")).as(k) } ++
+        Seq(col("_ref_n"), col("_cur_n")): _*)
+    val grid = joined
       .withColumn("_p_ref",
         coalesce(col("_ref_n"), lit(0L)).cast("double") /
           sum(coalesce(col("_ref_n"), lit(0L))).over(wTot).cast("double"))

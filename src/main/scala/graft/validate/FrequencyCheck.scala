@@ -73,8 +73,7 @@ object FrequencyCheck {
   def check(clips: DataFrame, sampleEvery: Int = 100,
       minRatio: Double = DefaultMinRatio): DataFrame = {
     val sampled =
-      if (sampleEvery <= 1) clips
-      else clips.where(SampleFilter.hashSampled(col("clip_id"), sampleEvery))
+      clips.where(SampleFilter.sampledOrAll(col("clip_id"), sampleEvery))
     val expected =
       (lit(220L) + expr("CAST(substr(clip_id, 6) AS BIGINT)") % 880L)
         .cast("double")

@@ -69,9 +69,7 @@ object ValidationSuite {
     // ---- scan projection: violation array + sampled decode, then DROP bytes
     val (annotated0, checks, missing) = RowValidator.annotate(clips, spec)
     val snr = AudioInvariantCheck.snrUdf(cfg.maxSynthMs) // shared definition
-    val sampled =
-      if (cfg.sampleEvery <= 1) lit(true)
-      else SampleFilter.hashSampled(col(key), cfg.sampleEvery)
+    val sampled = SampleFilter.sampledOrAll(col(key), cfg.sampleEvery)
     val narrowCols: Seq[Column] =
       (key +: parts).distinct.map(col) ++ Seq(
         col(RowValidator.ViolationsCol),

@@ -276,6 +276,38 @@ class ClipsPipelineSpec extends AnyFunSuite {
     assert(p2.getAs[Long]("error_rows") === 0L)
   }
 
+  test("zero-row pending partitions complete with (0,0) metrics on BOTH metrics paths") {
+    import org.apache.spark.sql.types.StringType
+    // a metadata-basis fingerprint can name a partition whose rows are gone
+    // (files deleted, .files entry stale): it must still get a manifest
+    // entry — with zero metrics — or it re-queues forever. Exercise both
+    // the observe fuse (small pending set) and the >64-partition grouped
+    // fallback, whose groupBy emits no row for an empty slice.
+    val spec = TableSpec("t",
+      Seq(ColumnSpec("k", StringType), ColumnSpec("part", StringType)),
+      keyCols = Seq("k"), partitionCols = Seq("part"))
+    for ((label, nParts) <- Seq("observe" -> 3, "fallback" -> 70)) {
+      val tmp = Files.createTempDirectory(s"graft-ckpt-empty-$label").toString
+      val rows = (0 until nParts).map(i => (s"k$i", s"p$i"))
+      val df = rows.toDF("k", "part")
+      val fps = (rows.map { case (_, p) => (p, 1L, 1L) } :+
+        (("ghost", 1L, 7L))) // pending partition with NO rows in df
+        .toDF("partition_value", "content_rows", "content_hash")
+      val done = ManifestCheckpoint.runResumable(spark, df, spec,
+        s"$tmp/manifest", s"$tmp/out", Some(() => fps))
+      assert(done.size === nParts + 1, s"$label: $done")
+      val ghost = ManifestCheckpoint.latestEntries(
+        spark.read.parquet(s"$tmp/manifest"))
+        .where(col("partition_value") === "ghost").collect()
+      assert(ghost.length === 1, s"$label: ghost partition got no entry")
+      assert(ghost.head.getAs[Long]("total_rows") === 0L)
+      assert(ghost.head.getAs[Long]("content_hash") === 7L)
+      // and the completed ghost does not re-queue
+      assert(ManifestCheckpoint.runResumable(spark, df, spec,
+        s"$tmp/manifest", s"$tmp/out", Some(() => fps)).isEmpty, label)
+    }
+  }
+
   test("NULL partition values are validated under the sentinel key, not skipped") {
     val tmp = Files.createTempDirectory("graft-ckpt-null").toString
     // null out the partition column for a deterministic slice of rows

@@ -70,6 +70,27 @@ class CategoricalDriftSpec extends AnyFunSuite {
     assert(r.getAs[String]("top_shift_category") === null)
   }
 
+  test("NULL category on BOTH sides joins into one grid row (null-safe keys)") {
+    // identical mixes incl. 50% NULL: a plain equi-join would split the
+    // NULL category into a ref-only row (shift 0.5) and a cur-only row
+    // (shift 0.5) and read spuriously drifted with n_categories 3
+    val ref = Seq(("x", "a"), ("x", null), ("x", null), ("x", "a")).toDF("g", "cat")
+    val cur = Seq(("x", null), ("x", "a"), ("x", "a"), ("x", null)).toDF("g", "cat")
+    val r = DriftCheck.categoricalCompare(ref, cur, "cat", Seq("g"))
+      .collect().head
+    assert(r.getAs[Long]("n_categories") === 2L)
+    assert(r.getAs[Double]("max_share_shift") === 0.0)
+    assert(!r.getAs[Boolean]("drifted"))
+    // and a NULL GROUP value on both sides is one group, not two
+    val refG = Seq((null.asInstanceOf[String], "a"), (null.asInstanceOf[String], "b"))
+      .toDF("g", "cat")
+    val curG = Seq((null.asInstanceOf[String], "a"), (null.asInstanceOf[String], "b"))
+      .toDF("g", "cat")
+    val rows = DriftCheck.categoricalCompare(refG, curG, "cat", Seq("g")).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("max_share_shift") === 0.0)
+  }
+
   test("no group columns → one global row") {
     val ref = mix(("x", "a", 10), ("y", "b", 10))
     val cur = mix(("x", "a", 10), ("y", "b", 30))
