@@ -830,6 +830,24 @@ object SparkEntry {
           coalesce(sum(when(flag, 1L).otherwise(0L)), lit(0L))
             .as("sampled_rows"))
     }),
+
+    // Quality-filter pipeline report (C4/Gopher-style curation): four
+    // ordered rules, each row attributed to the FIRST rule it fails —
+    // sequential semantics in ONE scan because the rules are row-local
+    // (contrast q44's dedup cascade, whose stages need joins and pay one
+    // materialization each). Thresholds sit mid-distribution (docs run
+    // 10-99 tokens / 48-553 chars) so every rule removes real rows. The
+    // oracle replays the identical when-chain in SQL.
+    "q49_quality_filter_report" -> ((s, dir) => {
+      import graft.text.{FilterReport, TextAnalysis}
+      val docs = tbl(s, dir, "documents")
+      val t = col("text")
+      FilterReport.report(docs, Seq(
+        "too_short" -> (TextAnalysis.tokenCount(t) >= 20),
+        "too_long" -> (length(t) <= 500),
+        "low_stopword" -> (TextAnalysis.stopwordRatio(t) >= 0.05),
+        "low_quality" -> (TextAnalysis.qualityScore(t) >= 2)))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1551,6 +1569,40 @@ object SparkEntry {
          |SELECT codec, split, COUNT(*) AS total_rows,
          |  CAST(SUM(sampled) AS BIGINT) AS sampled_rows
          |FROM labeled GROUP BY codec, split""".stripMargin,
+
+    // the identical first-failing-rule when-chain; stopword list and
+    // quality-score terms mirror TextAnalysis (the q10-proven recipe)
+    "q49_quality_filter_report" ->
+      s"""WITH a AS (
+         | SELECT CASE
+         |   WHEN NOT (len(str_split(text, ' ')) >= 20) THEN 'too_short'
+         |   WHEN NOT (len(text) <= 500) THEN 'too_long'
+         |   WHEN NOT ((CASE WHEN len(str_split(text, ' ')) = 0 THEN 0.0
+         |     ELSE CAST(len(list_filter(str_split(text, ' '), t -> t IN
+         |       ('the','a','an','and','or','of','to','in','is','it',
+         |        'that','for','on','with','as'))) AS DOUBLE)
+         |       / len(str_split(text, ' ')) END) >= 0.05)
+         |     THEN 'low_stopword'
+         |   WHEN NOT ((CASE WHEN len(text) >= 200 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(str_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
+         |     + CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) >= 2)
+         |     THEN 'low_quality'
+         |   ELSE '_kept' END AS removed_by
+         | FROM documents
+         |), g AS (SELECT removed_by, COUNT(*) AS n FROM a GROUP BY 1),
+         |t AS (SELECT
+         |  COALESCE((SELECT n FROM g WHERE removed_by = 'too_short'), 0) AS r1,
+         |  COALESCE((SELECT n FROM g WHERE removed_by = 'too_long'), 0) AS r2,
+         |  COALESCE((SELECT n FROM g WHERE removed_by = 'low_stopword'), 0) AS r3,
+         |  COALESCE((SELECT n FROM g WHERE removed_by = 'low_quality'), 0) AS r4,
+         |  (SELECT COUNT(*) FROM documents) AS tot)
+         |SELECT 'too_short' AS rule, r1 AS removed, tot - r1 AS surviving FROM t
+         |UNION ALL
+         |SELECT 'too_long', r2, tot - r1 - r2 FROM t
+         |UNION ALL
+         |SELECT 'low_stopword', r3, tot - r1 - r2 - r3 FROM t
+         |UNION ALL
+         |SELECT 'low_quality', r4, tot - r1 - r2 - r3 - r4 FROM t""".stripMargin,
     )
   }
 }
