@@ -33,6 +33,8 @@ object FilterReport {
     require(rules.nonEmpty, "FilterReport needs at least one rule")
     require(rules.map(_._1).distinct.size == rules.size,
       "rule names must be unique (they key the report)")
+    require(!rules.exists(_._1 == KeptLabel),
+      s"'$KeptLabel' is the reserved pass-through label")
     val attr = rules.foldRight(lit(KeptLabel)) { case ((name, pass), acc) =>
       when(!coalesce(pass, lit(false)), lit(name)).otherwise(acc)
     }
