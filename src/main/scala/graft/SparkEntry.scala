@@ -321,8 +321,10 @@ object SparkEntry {
     "q33_embedding_neardups_planted" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      // collision-proof plant offset (the q44 rationale): +1e5 would
+      // duplicate real vec_ids once embeddings exceeds 100k rows
       val planted = emb.where(col("vec_id") < 20)
-        .select((col("vec_id") + 100000L).as("vec_id"),
+        .select((col("vec_id") + 200000000L).as("vec_id"),
           transform(col("embedding"), x => x + lit(0.03d)).as("embedding"))
       graft.dedup.Dedup.embeddingNearDups(emb.unionByName(planted),
         "vec_id", "embedding", dim = 64, cosThreshold = 0.9,
@@ -1116,7 +1118,7 @@ object SparkEntry {
         |e AS (
         | SELECT vec_id, v FROM e0
         | UNION ALL
-        | SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x + 0.03) AS v
+        | SELECT vec_id + 200000000 AS vec_id, list_transform(v, x -> x + 0.03) AS v
         | FROM e0 WHERE vec_id < 20
         |)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1571,21 +1573,28 @@ object SparkEntry {
          |FROM labeled GROUP BY codec, split""".stripMargin,
 
     // the identical first-failing-rule when-chain; stopword list and
-    // quality-score terms mirror TextAnalysis (the q10-proven recipe)
+    // quality-score terms mirror TextAnalysis (the q10-proven recipe).
+    // Every predicate is wrapped COALESCE(pred, FALSE) to mirror
+    // FilterReport's NULL-predicate-fails-the-rule semantics — a bare
+    // NOT(NULL) would fall through every WHEN and land a NULL text in
+    // '_kept' where the engine attributes it to the first rule
     "q49_quality_filter_report" ->
       s"""WITH a AS (
          | SELECT CASE
-         |   WHEN NOT (len(str_split(text, ' ')) >= 20) THEN 'too_short'
-         |   WHEN NOT (len(text) <= 500) THEN 'too_long'
-         |   WHEN NOT ((CASE WHEN len(str_split(text, ' ')) = 0 THEN 0.0
+         |   WHEN NOT COALESCE(len(str_split(text, ' ')) >= 20, FALSE)
+         |     THEN 'too_short'
+         |   WHEN NOT COALESCE(len(text) <= 500, FALSE) THEN 'too_long'
+         |   WHEN NOT COALESCE((CASE WHEN len(str_split(text, ' ')) = 0
+         |     THEN 0.0
          |     ELSE CAST(len(list_filter(str_split(text, ' '), t -> t IN
          |       ('the','a','an','and','or','of','to','in','is','it',
          |        'that','for','on','with','as'))) AS DOUBLE)
-         |       / len(str_split(text, ' ')) END) >= 0.05)
+         |       / len(str_split(text, ' ')) END) >= 0.05, FALSE)
          |     THEN 'low_stopword'
-         |   WHEN NOT ((CASE WHEN len(text) >= 200 THEN 1 ELSE 0 END
+         |   WHEN NOT COALESCE((CASE WHEN len(text) >= 200 THEN 1 ELSE 0 END
          |     + CASE WHEN len(str_split(text, ' ')) >= 40 THEN 1 ELSE 0 END
-         |     + CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) >= 2)
+         |     + CASE WHEN contains(text, 'the') THEN 1 ELSE 0 END) >= 2,
+         |     FALSE)
          |     THEN 'low_quality'
          |   ELSE '_kept' END AS removed_by
          | FROM documents

@@ -35,6 +35,11 @@ object FilterReport {
       "rule names must be unique (they key the report)")
     require(!rules.exists(_._1 == KeptLabel),
       s"'$KeptLabel' is the reserved pass-through label")
+    // withColumn would silently CLOBBER an existing column of this name
+    // (e.g. re-filtering a previously attributed frame) — refuse instead;
+    // that is what the attrCol parameter is for
+    require(!df.columns.contains(attrCol),
+      s"input already has a '$attrCol' column — pass a different attrCol")
     val attr = rules.foldRight(lit(KeptLabel)) { case ((name, pass), acc) =>
       when(!coalesce(pass, lit(false)), lit(name)).otherwise(acc)
     }
@@ -42,20 +47,22 @@ object FilterReport {
   }
 
   /** Rows surviving every rule (attribution column dropped). */
-  def keep(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
-    attributed(df, rules).where(col("_removed_by") === KeptLabel)
-      .drop("_removed_by")
+  def keep(df: DataFrame, rules: Seq[(String, Column)],
+      attrCol: String = "_removed_by"): DataFrame =
+    attributed(df, rules, attrCol).where(col(attrCol) === KeptLabel)
+      .drop(attrCol)
 
   /** The curation report: one row per rule,
     * `(rule, removed, surviving)` — removed = rows whose FIRST failure is
     * this rule, surviving = rows left after it (order-sensitive, like the
     * dedup cascade's report). One scan + one tiny grouped count; the
     * cumulative arithmetic runs on O(rules) driver-side longs. */
-  def report(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+  def report(df: DataFrame, rules: Seq[(String, Column)],
+      attrCol: String = "_removed_by"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = attributed(df, rules)
-      .groupBy(col("_removed_by")).agg(count(lit(1)).as("n"))
+    val counts = attributed(df, rules, attrCol)
+      .groupBy(col(attrCol)).agg(count(lit(1)).as("n"))
       .collect() // O(rules + 1) rows
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     var surviving = counts.values.sum

@@ -50,4 +50,14 @@ class FilterReportSpec extends AnyFunSuite {
       FilterReport.report(docs, Seq("dup" -> lit(true), "dup" -> lit(false)))
     }
   }
+
+  test("attribution column collisions are refused, not clobbered; attrCol threads through") {
+    val pre = FilterReport.attributed(docs, rules)
+    intercept[IllegalArgumentException] { FilterReport.attributed(pre, rules) }
+    intercept[IllegalArgumentException] { FilterReport.keep(pre, rules) }
+    // a re-filter of an attributed frame works under a fresh column name
+    val kept = FilterReport.keep(pre, rules, attrCol = "_removed_by_2")
+    assert(kept.columns.toSeq === Seq("id", "text", "_removed_by"))
+    assert(kept.select("id").as[Long].collect().sorted === Array(3L, 4L))
+  }
 }
