@@ -850,6 +850,28 @@ object SparkEntry {
         "low_stopword" -> (TextAnalysis.stopwordRatio(t) >= 0.05),
         "low_quality" -> (TextAnalysis.qualityScore(t) >= 2)))
     }),
+
+    // Near-dup CLUSTERS: pairwise detection (q14's LSH pairs, exact-
+    // verified) composed with transitive closure — keeper selection is
+    // per-CLUSTER, not per-pair (a chain a~b, b~c is ONE group with one
+    // keeper, which pair-local removal gets wrong). Components via
+    // min-label propagation + path compression, each round's ids-only
+    // labels localCheckpoint'ed (the cascade lineage discipline). The
+    // oracle recomputes the exact pairs (the q14 recipe) and closes them
+    // with a recursive CTE — component id (min doc_id) and size must
+    // match exactly.
+    "q50_neardup_components" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      import org.apache.spark.sql.expressions.Window
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, shingleLen = 3, maxBucketSize = Int.MaxValue)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component").as("component_id"))
+        .withColumn("component_size",
+          count(lit(1)).over(Window.partitionBy(col("component_id"))))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1612,6 +1634,39 @@ object SparkEntry {
          |SELECT 'low_stopword', r3, tot - r1 - r2 - r3 FROM t
          |UNION ALL
          |SELECT 'low_quality', r4, tot - r1 - r2 - r3 - r4 FROM t""".stripMargin,
+
+    // exact pairs (the q14 recipe) transitively closed with a recursive
+    // CTE; component id = min reachable doc_id, size over the membership
+    "q50_neardup_components" ->
+      s"""WITH RECURSIVE t AS (
+         | SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+         |   THEN [array_to_string(toks, ' ')]
+         |   ELSE list_transform(generate_series(1, len(toks) - 2),
+         |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         | FROM t
+         |), pairs AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM s a JOIN s b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |), edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION
+         | SELECT id_b AS src, id_a AS dst FROM pairs
+         |), nodes AS (
+         | SELECT DISTINCT src AS node FROM edges
+         |), reach(node, r) AS (
+         | SELECT node, node FROM nodes
+         | UNION
+         | SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |), comp AS (
+         | SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+         |)
+         |SELECT doc_id, component_id,
+         |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
+         |FROM comp""".stripMargin,
     )
   }
 }

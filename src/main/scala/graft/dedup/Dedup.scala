@@ -368,6 +368,66 @@ object Dedup {
         countDistinct(col("_ng")).as("ngrams_hit"))
   }
 
+  // ------------------------------------------------ connected components
+
+  /** Connected components over an undirected near-dup PAIR list — the step
+    * between pairwise detection (minhash/simhash/embedding emit pairs) and
+    * actual dedup: transitive closure groups pairs into clusters so keeper
+    * selection is per-CLUSTER (one survivor per group), not per-pair
+    * (which over- or under-removes on chains like a~b, b~c). Returns
+    * `(node, component)` for every id appearing in a pair, where
+    * `component` is the smallest id in the node's component — the unique
+    * fixpoint, so the output is deterministic regardless of execution
+    * order. Ids NOT in any pair have no row (they are their own keepers).
+    *
+    * Algorithm: min-label propagation with per-round path compression
+    * (label := label(label)) — the "hash-to-min" family from the public
+    * MapReduce connected-components literature; compression makes long
+    * chains collapse in O(log n) rounds instead of O(diameter). Each round
+    * is two keyed joins + one min-aggregation over ids-only frames, and
+    * each round's labels are materialized with an eager `localCheckpoint`
+    * — the same lineage-truncation discipline as [[cascade]] (a persisted
+    * iterative plan nests every prior round and blows up under AQE).
+    * Convergence is checked exactly (any label changed?); a graph that
+    * fails to converge within `maxIters` throws rather than returning a
+    * wrong coarsening. Near-dup graphs at corpus scale are shallow
+    * (members cluster around a seed doc), so rounds ≈ 3-5 in practice. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = e0
+      .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint()
+    var it = 0
+    var converged = labels.isEmpty
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("_nl")),
+          Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("_nl")).as("_mn"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("_mn"), col("label"))).as("label"))
+      val compressed = stepped
+        .join(stepped.select(col("node").as("label"), col("label").as("_ll")),
+          Seq("label"), "left_outer")
+        .select(col("node"), coalesce(col("_ll"), col("label")).as("label"))
+        .localCheckpoint()
+      converged = compressed
+        .join(labels.withColumnRenamed("label", "_old"), Seq("node"))
+        .where(col("label") =!= col("_old")).isEmpty
+      labels = compressed
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "raise maxIters (pathological graph diameter)")
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   // -------------------------------------------------------------- cascade
 
   /** Sequential dedup CASCADE — the composition a real training-data

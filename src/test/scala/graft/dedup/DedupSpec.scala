@@ -305,6 +305,31 @@ class DedupSpec extends AnyFunSuite {
       s"near-first must steal removals from the exact stage: $a vs $b")
   }
 
+  test("connected components: chains collapse, clusters separate, fixpoint is min id") {
+    // a 6-chain (multiple propagation+compression rounds), a triangle, a
+    // lone pair — three components keyed by their min ids
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // deterministic: a rerun (and a reordered/reversed pair list) agrees
+    val shuffled = Seq((21L, 20L), (6L, 5L), (12L, 10L), (5L, 4L), (12L, 11L),
+      (4L, 3L), (11L, 10L), (3L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(shuffled, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap === comp)
+    // empty pair list → empty result, no iteration
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").isEmpty)
+    // non-convergence within maxIters fails loudly, never returns a
+    // wrong coarsening (a 6-chain needs >1 round)
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxIters = 1).count()
+    }
+  }
+
   test("decontaminate flags n-gram overlap with a benchmark suite") {
     // suite = doc 1's text plus a short prompt under 4 tokens (whole-text
     // shingle fallback must still match doc 6). Mutated leaks — the
