@@ -394,7 +394,17 @@ object Dedup {
     * (members cluster around a seed doc), so rounds ≈ 3-5 in practice. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 25): DataFrame = {
+    // materialize the raw pair list FIRST: the caller's `pairs` is
+    // typically a whole detection pipeline (LSH + exact verify), and the
+    // symmetrizing union below references it twice — un-materialized, the
+    // pipeline's post-shuffle compute would execute once per branch
     val e0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
+    // a NULL endpoint cannot carry identity through the label joins — it
+    // would silently break its edge's connectivity AND emit a junk
+    // (null, null) row; fail loudly instead (cheap: e0 is a leaf)
+    require(e0.where(col("src").isNull || col("dst").isNull).isEmpty,
+      "connectedComponents: pair list contains NULL ids")
     val edges = e0
       .unionByName(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -403,13 +413,22 @@ object Dedup {
     var it = 0
     var converged = labels.isEmpty
     while (!converged && it < maxIters) {
+      // every node has >= 1 edge and every node is labeled, so the inner
+      // join + min covers the full node set; least() skips NULLs, so no
+      // defensive coalesce is needed (and would obscure that invariant)
       val nbrMin = edges
         .join(labels.select(col("node").as("dst"), col("label").as("_nl")),
           Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("_nl")).as("_mn"))
       val stepped = labels.join(nbrMin, Seq("node"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("_mn"), col("label"))).as("label"))
+        .select(col("node"), least(col("label"), col("_mn")).as("label"))
+        .localCheckpoint() // referenced twice by the compression self-join
+      // path compression: label := label(label). Every label is an
+      // existing node's id (starts as own id; only ever replaced by other
+      // labels), so the lookup always matches — the left_outer + coalesce
+      // is deliberate belt-and-braces: if that invariant ever broke, an
+      // inner join would silently DROP the node, strictly worse than
+      // keeping its uncompressed label
       val compressed = stepped
         .join(stepped.select(col("node").as("label"), col("label").as("_ll")),
           Seq("label"), "left_outer")

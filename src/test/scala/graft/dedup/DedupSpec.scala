@@ -328,6 +328,12 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(pairs, "id_a", "id_b", maxIters = 1).count()
     }
+    // NULL endpoints are rejected loudly, not silently disconnected
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(
+        Seq((Some(1L), Some(2L)), (None, Some(3L)))
+          .toDF("id_a", "id_b"), "id_a", "id_b")
+    }
   }
 
   test("decontaminate flags n-gram overlap with a benchmark suite") {
