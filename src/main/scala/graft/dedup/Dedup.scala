@@ -457,9 +457,11 @@ object Dedup {
     * `(stage: string, removed: long, surviving: long)`.
     *
     * Each stage is `(name, survivors => idsToRemove)` — the removal frame
-    * needs only the `idCol` column (extra columns are ignored; ids are
-    * deduped and inner-matched against the current survivor set, so a stage
-    * returning ids it was never shown cannot corrupt the count).
+    * needs only the `idCol` column (extra columns are ignored). Duplicate
+    * or foreign removal ids are neutralized by the left_anti join's
+    * SET-WISE matching below — an id can only drop a survivor row that
+    * exists, once — so a stage returning ids it was never shown cannot
+    * corrupt the count; no explicit dedup/intersection pass is needed.
     *
     * Scale shape: survivor state between stages is an IDS-ONLY frame,
     * materialized per stage with an eager `localCheckpoint` — which both
