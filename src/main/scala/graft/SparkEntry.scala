@@ -251,10 +251,17 @@ object SparkEntry {
     // so the skew guard (production default) must not drop any bucket —
     // exactness is the claim under test. Production callers keep the cap
     // and monitor Dedup.oversizedBuckets.
+    // Runs with the DEFAULT LSH skew cap — the configuration a 100 TB run
+    // uses (round-6 verdict #1: these queries previously passed
+    // Int.MaxValue "for exact recall", the one setup that goes quadratic
+    // on a degenerate bucket). The exact-recall oracle still holds because
+    // capped ≡ uncapped at the test scales: no (band, hash) bucket comes
+    // near DefaultMaxBucketSize=1000 — pinned by DedupSpec's
+    // "skew cap is a no-op on the documents corpus" equality test at
+    // sf0.1, and bounded a priori at sf0.01 (500 docs < cap).
     "q14_minhash_neardups" -> ((s, dir) =>
       graft.dedup.Dedup.minhashNearDups(tbl(s, dir, "documents"),
-        "doc_id", "text", threshold = 0.8, shingleLen = 3,
-        maxBucketSize = Int.MaxValue)),
+        "doc_id", "text", threshold = 0.8, shingleLen = 3)),
 
     // SimHash near-dup pairs via pigeonhole chunks. Uses the 60-bit
     // md5-derived token hash (TextAnalysis.md5Hash60) so the DuckDB oracle
@@ -264,8 +271,9 @@ object SparkEntry {
     "q15_simhash_neardups" -> ((s, dir) =>
       graft.dedup.Dedup.simhashNearDups(tbl(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3, bits = 60,
-        family = graft.dedup.Dedup.TokenHashFamily.Custom(TextAnalysis.md5Hash60),
-        maxBucketSize = Int.MaxValue)), // uncapped: oracle asserts exactness
+        family = graft.dedup.Dedup.TokenHashFamily.Custom(TextAnalysis.md5Hash60))),
+        // default skew cap ON (see q14's note): capped ≡ uncapped at test
+        // scales (DedupSpec equality pin), so exact recall is preserved
 
     // Brute-force cosine top-k (ANN correctness baseline; rows-only)
     "q16_ann_bruteforce" -> ((s, dir) => {
@@ -750,8 +758,10 @@ object SparkEntry {
         "exact" -> (sv => sv.join(
           Dedup.exactKeep(sv, "doc_id", "text").select("doc_id"),
           Seq("doc_id"), "left_anti")),
+        // default skew cap ON (round-6 verdict #1) — the 100 TB config;
+        // capped ≡ uncapped here (see q14's note + DedupSpec pin)
         "minhash" -> (sv => Dedup.minhashNearDups(sv, "doc_id", "text",
-          threshold = 0.8, shingleLen = 3, maxBucketSize = Int.MaxValue)
+          threshold = 0.8, shingleLen = 3)
           .select(col("id_b").as("doc_id"))),
         "embedding" -> (sv => Dedup.embeddingNearDups(
           sv.join(vectors, sv("doc_id") === vectors("vec_id"))
@@ -864,13 +874,146 @@ object SparkEntry {
       import graft.dedup.Dedup
       import org.apache.spark.sql.expressions.Window
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      // default skew cap ON (round-6 verdict #1) — the 100 TB config;
+      // capped ≡ uncapped here (see q14's note + DedupSpec pin)
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-        threshold = 0.8, shingleLen = 3, maxBucketSize = Int.MaxValue)
+        threshold = 0.8, shingleLen = 3)
         .select("id_a", "id_b")
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .select(col("node").as("doc_id"), col("component").as("component_id"))
         .withColumn("component_size",
           count(lit(1)).over(Window.partitionBy(col("component_id"))))
+    }),
+
+    // Incremental (append-batch) dedup against a FROZEN corpus (round-6
+    // verdict next-round #2): the production ingest shape none of
+    // q12/q14/q44 exercises — dedup a NEW batch against an established
+    // corpus WITHOUT re-reading corpus text. The corpus is represented
+    // only by its fingerprint STORE, built once and persisted as a
+    // fingerprint-bucketed table (the q39 discipline: the classification
+    // join reads store buckets in place; only the small batch shuffles —
+    // PlanShapeSpec pins that corpus text never enters this plan). The
+    // batch plants all three outcomes: verbatim copies of docs 100-149
+    // under fresh ids (dup_of_corpus, keeper = the source doc) and 10
+    // fresh docs repeating each of 5 new texts twice (first occurrence
+    // new, second dup_in_batch). The oracle replays the identical
+    // classification over (corpus ∪ batch) in SQL.
+    "q51_incremental_dedup" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = tbl(s, dir, "documents")
+      val sfKey = new java.io.File(dir).getName.replace('.', '_')
+      val storeTbl = s"graft_fpstore_$sfKey"
+      if (!s.catalog.tableExists(storeTbl))
+        graft.io.IcebergEmulation.writeBucketed(
+          Dedup.fingerprintStore(docs, "doc_id", "text"),
+          TableSpec("fp_store", Seq(
+            ColumnSpec("fingerprint", StringType),
+            ColumnSpec("keeper_id", LongType)), keyCols = Seq("fingerprint")),
+          storeTbl, buckets = 16,
+          path = Some(s"${OracleTables.ScratchRoot}/graft-fpstore/$sfKey"))
+      val store = s.table(storeTbl)
+      val batch = docs
+        .where(col("doc_id") >= 100 && col("doc_id") < 150)
+        .select((col("doc_id") + 300000000L).as("doc_id"), col("text"))
+        .unionByName(s.range(10).select(
+          (col("id") + 400000000L).as("doc_id"),
+          concat(lit("freshdoc"), (col("id") % 5).cast(StringType)).as("text")))
+      Dedup.incrementalExact(batch, "doc_id", "text", store)
+    }),
+
+    // Gopher/C4 REPETITION rules in the quality-filter chain (round-6
+    // verdict next-round #3): duplicate-line fraction and top-trigram
+    // mass — the published repetition filters that actually bite on web
+    // corpora. Both are row-local, so they slot into the q49 one-scan
+    // when-chain; the trigram array is materialized ONCE per row
+    // (TextAnalysis.topCount doc: Catalyst does not CSE across HOF
+    // lambdas). Thresholds are INTEGER inequalities (dup fraction >= 1/2
+    // as (lines-distinct)*2 >= lines; trigram mass > 1/10 as
+    // 10*topCount > trigrams) so no verdict hinges on double rounding.
+    // Plants make each rule remove real rows at every scale: doc_id%7==3
+    // re-appends the whole text as a second newline-joined line (dup
+    // fraction exactly 1/2); doc_id%13==6 appends ' buy gold now' x20
+    // (trigram mass 20/(ntok+58) > 0.1 for every 10-99-token doc). The
+    // oracle replays plants + rules identically in SQL.
+    "q52_repetition_filter" -> ((s, dir) => {
+      import graft.text.{FilterReport, TextAnalysis}
+      val docs = tbl(s, dir, "documents")
+      val planted = docs
+        .withColumn("text", when(col("doc_id") % 7 === 3,
+          concat(col("text"), lit("\n"), col("text"))).otherwise(col("text")))
+        .withColumn("text", when(col("doc_id") % 13 === 6,
+          concat(col("text"), repeat(lit(" buy gold now"), 20)))
+          .otherwise(col("text")))
+        .withColumn("_ng", TextAnalysis.ngrams(col("text"), 3))
+      val t = col("text")
+      FilterReport.report(planted.select(col("doc_id"), t, col("_ng")), Seq(
+        "dup_lines" ->
+          ((TextAnalysis.lineCount(t) - TextAnalysis.distinctLineCount(t)) * 2
+            < TextAnalysis.lineCount(t)),
+        "repeated_ngram" ->
+          (TextAnalysis.topCount(col("_ng")) * 10 <= size(col("_ng"))),
+        "low_stopword" -> (TextAnalysis.stopwordRatio(t) >= 0.05)))
+    }),
+
+    // Cluster-KEEPER dedup (round-6 verdict next-round #4): compose the
+    // q50 components into the actual removal decision — one keeper (min
+    // id) per cluster, everything else removed — closing the
+    // detect → cluster → remove arc. keeper_id == component_id by the
+    // min-label construction, but the column is produced by a real
+    // min-aggregate so the oracle CROSS-CHECKS the invariant instead of
+    // assuming it. Oracle: the q50 recursive-CTE closure + per-component
+    // count/min.
+    "q53_cluster_keepers" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, shingleLen = 3).select("id_a", "id_b")
+      Dedup.clusterKeepers(pairs, "id_a", "id_b")
+    }),
+
+    // PII / sensitive-pattern census (round-6 verdict next-round #5): the
+    // remaining standard training-data hygiene scan — per-class regex
+    // counts (email / phone / IPv4) over documents, scan-only, with
+    // (class, count) pairs as the only exchange (the q49 shape). Plants
+    // give every class predictable hits — doc_id%41==5 appends an email,
+    // %43==6 two phone numbers, %47==8 two IPv4s (first-matching-plant
+    // wins, mirrored in the oracle's CASE order); the two-match plants
+    // exercise total_matches > docs_hit. Patterns stick to the
+    // RE2-portable subset so DuckDB's regexp_extract_all replays the
+    // census exactly.
+    "q54_pii_census" -> ((s, dir) => {
+      import graft.text.PiiCensus
+      val docs = tbl(s, dir, "documents")
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 41 === 5,
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast(StringType), lit("@example.com now")))
+          .when(col("doc_id") % 43 === 6,
+            concat(col("text"), lit(" call 555-867-5309 or 555-123-4567 today")))
+          .when(col("doc_id") % 47 === 8,
+            concat(col("text"), lit(" host 10.0.0.77 and 192.168.1.77 up")))
+          .otherwise(col("text")))
+      PiiCensus.census(planted, "text")
+    }),
+
+    // Language-mix drift over DERIVED labels (round-6 verdict next-round
+    // #8): q13's lang-id heuristic feeds q45's categoricalCompare — zero
+    // new operator code; proves the drift operator composes with computed
+    // (not stored) categories. The plant overrides text with French
+    // marker words for doc_id % 3 == 1 in source 'src3' only: exactly
+    // src3's language mix shifts (every other source is byte-identical on
+    // both sides, so its max shift is exactly 0.0 and top category falls
+    // to the deterministic alphabetical tie-break).
+    "q55_langmix_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val cur = docs.withColumn("text",
+        when(col("source") === "src3" && col("doc_id") % 3 === 1,
+          lit("le la les et des une est dans qui pas"))
+          .otherwise(col("text")))
+      def labeled(df: DataFrame): DataFrame =
+        df.withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      DriftCheck.categoricalCompare(labeled(docs), labeled(cur),
+        "lang_pred", Seq("source"), maxShiftThreshold = 0.05)
     }),
   )
 
@@ -1667,6 +1810,202 @@ object SparkEntry {
          |SELECT doc_id, component_id,
          |  COUNT(*) OVER (PARTITION BY component_id) AS component_size
          |FROM comp""".stripMargin,
+
+    // incremental dedup replayed over (corpus ∪ batch): corpus keeper per
+    // fingerprint (the q12 recipe), batch defined by the same id-shift +
+    // fresh-doc rules, status by store membership then batch-first-id
+    "q51_incremental_dedup" ->
+      """WITH corpus AS (
+        | SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp,
+        |   MIN(doc_id) AS keeper_id
+        | FROM documents GROUP BY 1
+        |), batch AS (
+        | SELECT doc_id + 300000000 AS doc_id, text FROM documents
+        | WHERE doc_id >= 100 AND doc_id < 150
+        | UNION ALL
+        | SELECT 400000000 + i AS doc_id,
+        |   'freshdoc' || CAST(i % 5 AS VARCHAR) AS text
+        | FROM (SELECT unnest(generate_series(0, 9)) AS i)
+        |), bfp0 AS (
+        | SELECT doc_id,
+        |   MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+        | FROM batch
+        |), bfp AS (
+        | SELECT doc_id, fp, MIN(doc_id) OVER (PARTITION BY fp) AS first_id
+        | FROM bfp0
+        |)
+        |SELECT b.doc_id,
+        | CASE WHEN c.keeper_id IS NOT NULL THEN 'dup_of_corpus'
+        |      WHEN b.doc_id <> b.first_id THEN 'dup_in_batch'
+        |      ELSE 'new' END AS status,
+        | CASE WHEN c.keeper_id IS NOT NULL THEN c.keeper_id
+        |      WHEN b.doc_id <> b.first_id THEN b.first_id END AS dup_of
+        |FROM bfp b LEFT JOIN corpus c ON b.fp = c.fp""".stripMargin,
+
+    // repetition rules replayed with the identical plants + INTEGER
+    // thresholds; ngram list is the MULTISET form (no list_distinct —
+    // duplicates are the signal); q49's COALESCE(pred, FALSE) discipline
+    "q52_repetition_filter" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |   CASE WHEN doc_id % 13 = 6 THEN t1 || repeat(' buy gold now', 20)
+        |     ELSE t1 END AS text
+        | FROM (SELECT doc_id,
+        |   CASE WHEN doc_id % 7 = 3 THEN text || chr(10) || text
+        |     ELSE text END AS t1
+        |   FROM documents)
+        |), m AS (
+        | SELECT doc_id,
+        |   str_split(text, chr(10)) AS lns,
+        |   str_split(text, ' ') AS toks,
+        |   CASE WHEN len(str_split(text, ' ')) < 3
+        |     THEN [array_to_string(str_split(text, ' '), ' ')]
+        |     ELSE list_transform(generate_series(1, len(str_split(text, ' ')) - 2),
+        |       i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')) END AS ng
+        | FROM p
+        |), a AS (
+        | SELECT CASE
+        |   WHEN NOT COALESCE(
+        |     (len(lns) - len(list_distinct(lns))) * 2 < len(lns), FALSE)
+        |     THEN 'dup_lines'
+        |   WHEN NOT COALESCE(
+        |     list_max(list_transform(ng, x -> len(list_filter(ng, y -> y = x))))
+        |       * 10 <= len(ng), FALSE)
+        |     THEN 'repeated_ngram'
+        |   WHEN NOT COALESCE((CASE WHEN len(toks) = 0 THEN 0.0
+        |     ELSE CAST(len(list_filter(toks, t -> t IN
+        |       ('the','a','an','and','or','of','to','in','is','it',
+        |        'that','for','on','with','as'))) AS DOUBLE)
+        |       / len(toks) END) >= 0.05, FALSE)
+        |     THEN 'low_stopword'
+        |   ELSE '_kept' END AS removed_by
+        | FROM m
+        |), g AS (SELECT removed_by, COUNT(*) AS n FROM a GROUP BY 1),
+        |t AS (SELECT
+        |  COALESCE((SELECT n FROM g WHERE removed_by = 'dup_lines'), 0) AS r1,
+        |  COALESCE((SELECT n FROM g WHERE removed_by = 'repeated_ngram'), 0) AS r2,
+        |  COALESCE((SELECT n FROM g WHERE removed_by = 'low_stopword'), 0) AS r3,
+        |  (SELECT COUNT(*) FROM documents) AS tot)
+        |SELECT 'dup_lines' AS rule, r1 AS removed, tot - r1 AS surviving FROM t
+        |UNION ALL
+        |SELECT 'repeated_ngram', r2, tot - r1 - r2 FROM t
+        |UNION ALL
+        |SELECT 'low_stopword', r3, tot - r1 - r2 - r3 FROM t""".stripMargin,
+
+    // the q50 recursive-CTE closure grouped per component: size, min id
+    // (must equal the component id — the invariant the Spark side earns
+    // via a real aggregate), removals = size - 1
+    "q53_cluster_keepers" ->
+      s"""WITH RECURSIVE t AS (
+         | SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+         |   THEN [array_to_string(toks, ' ')]
+         |   ELSE list_transform(generate_series(1, len(toks) - 2),
+         |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         | FROM t
+         |), pairs AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM s a JOIN s b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |), edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION
+         | SELECT id_b AS src, id_a AS dst FROM pairs
+         |), nodes AS (
+         | SELECT DISTINCT src AS node FROM edges
+         |), reach(node, r) AS (
+         | SELECT node, node FROM nodes
+         | UNION
+         | SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |), comp AS (
+         | SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+         |)
+         |SELECT component_id, COUNT(*) AS component_size,
+         |  MIN(doc_id) AS keeper_id, COUNT(*) - 1 AS removed
+         |FROM comp GROUP BY component_id""".stripMargin,
+
+    // PII census replayed: identical plants (CASE order = the Spark when
+    // chain), identical RE2-portable patterns via regexp_extract_all
+    "q54_pii_census" ->
+      """WITH p AS (
+        | SELECT CASE
+        |   WHEN doc_id % 41 = 5 THEN text || ' contact user'
+        |     || CAST(doc_id AS VARCHAR) || '@example.com now'
+        |   WHEN doc_id % 43 = 6 THEN text || ' call 555-867-5309 or 555-123-4567 today'
+        |   WHEN doc_id % 47 = 8 THEN text || ' host 10.0.0.77 and 192.168.1.77 up'
+        |   ELSE text END AS text
+        | FROM documents
+        |), e AS (
+        | SELECT 'email' AS pii_class, len(regexp_extract_all(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS m FROM p
+        | UNION ALL
+        | SELECT 'phone', len(regexp_extract_all(text,
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}')) FROM p
+        | UNION ALL
+        | SELECT 'ipv4', len(regexp_extract_all(text,
+        |   '([0-9]{1,3}[.]){3}[0-9]{1,3}')) FROM p
+        |)
+        |SELECT pii_class,
+        |  CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+        |  CAST(SUM(m) AS BIGINT) AS total_matches
+        |FROM e GROUP BY pii_class""".stripMargin,
+
+    // language-mix drift: the q13 lang-id recipe applied to both sides
+    // (current = planted French override in src3), then the q45 grid
+    // arithmetic grouped by source
+    "q55_langmix_drift" -> {
+      def langTable(rel: String): String =
+        s"""(SELECT source,
+           |  CASE WHEN regexp_matches(text, '[\\p{Han}\\p{Hiragana}\\p{Katakana}]') THEN 'zh'
+           |       WHEN greatest(s_en, s_fr, s_es, s_de) > 0 THEN
+           |         CASE WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+           |              WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+           |              WHEN s_en >= s_de THEN 'en'
+           |              ELSE 'de' END
+           |       ELSE 'und' END AS cat
+           | FROM (
+           |  SELECT source, text,
+           |   len(list_filter(toks, x -> x IN ('the','and','of','to','is','in','that','it','was','for'))) AS s_en,
+           |   len(list_filter(toks, x -> x IN ('le','la','les','et','des','une','est','dans','qui','pas'))) AS s_fr,
+           |   len(list_filter(toks, x -> x IN ('el','los','las','una','que','por','con','para','es','del'))) AS s_es,
+           |   len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','von','zu'))) AS s_de
+           |  FROM (SELECT source, text,
+           |    list_transform(str_split(lower(text), ' '),
+           |      x -> regexp_replace(x, '[^\\p{L}]', '', 'g')) AS toks FROM $rel)
+           | ))""".stripMargin
+      s"""WITH curd AS (
+         | SELECT source,
+         |   CASE WHEN source = 'src3' AND doc_id % 3 = 1
+         |     THEN 'le la les et des une est dans qui pas'
+         |     ELSE text END AS text
+         | FROM documents
+         |), refl AS (SELECT * FROM ${langTable("documents")}),
+         |curl AS (SELECT * FROM ${langTable("curd")}),
+         |refc AS (SELECT source, cat, COUNT(*) AS ref_n FROM refl GROUP BY 1, 2),
+         |curc AS (SELECT source, cat, COUNT(*) AS cur_n FROM curl GROUP BY 1, 2),
+         |grid AS (
+         | SELECT COALESCE(r.source, c.source) AS source,
+         |   COALESCE(r.cat, c.cat) AS cat,
+         |   COALESCE(r.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+         | FROM refc r FULL OUTER JOIN curc c
+         |   ON r.source = c.source AND r.cat = c.cat
+         |), shifts AS (
+         | SELECT source, cat,
+         |   ABS(CAST(cur_n AS DOUBLE)
+         |       / CAST(SUM(cur_n) OVER (PARTITION BY source) AS DOUBLE)
+         |     - CAST(ref_n AS DOUBLE)
+         |       / CAST(SUM(ref_n) OVER (PARTITION BY source) AS DOUBLE)) AS shift,
+         |   COUNT(*) OVER (PARTITION BY source) AS n_cat
+         | FROM grid
+         |)
+         |SELECT source, n_cat AS n_categories, shift AS max_share_shift,
+         |  cat AS top_shift_category, shift > 0.05 AS drifted
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY shift DESC, cat ASC) AS rn FROM shifts)
+         |WHERE rn = 1""".stripMargin
+    },
     )
   }
 }

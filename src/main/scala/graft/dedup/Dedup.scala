@@ -193,18 +193,29 @@ object Dedup {
     * band hash become candidates. Returns (id_a, id_b) with id_a < id_b,
     * deduped. Collision probability for Jaccard s: 1-(1-s^r)^b. Buckets
     * larger than `maxBucketSize` are dropped (skew guard, see object doc). */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+  /** The exploded (id, band, band-hash) frame behind [[minhashCandidates]] —
+    * exposed for the skew-cap audit: `oversizedBuckets(minhashBanded(...),
+    * Seq("_band", "_bandhash"), cap)` reports exactly what the capped
+    * candidate join would drop (DedupSpec pins it empty on the test
+    * corpora, making capped ≡ uncapped there). */
+  private[graft] def minhashBanded(df: DataFrame, idCol: String,
+      textCol: String, shingleLen: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sig = minhashSignature(shingles(col(textCol), shingleLen), numHashes)
     val bandHashes = array((0 until bands).map(b =>
       xxhash64(lit("band"), lit(b), slice(col("_sig"), b * r + 1, r))): _*)
-    val banded = ensureParallelism(df)
+    ensureParallelism(df)
       .select(col(idCol).as("_id"), sig.as("_sig"))
       .select(col("_id"), posexplode(bandHashes))
       .select(col("_id"), col("pos").as("_band"), col("col").as("_bandhash"))
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val banded = minhashBanded(df, idCol, textCol, shingleLen, numHashes, bands)
     val capped = capBuckets(banded, Seq("_band", "_bandhash"), maxBucketSize)
     val a = capped.select(col("_band"), col("_bandhash"), col("_id").as("id_a"))
     val b = capped.select(col("_band"), col("_bandhash"), col("_id").as("id_b"))
@@ -302,10 +313,12 @@ object Dedup {
     * bucketing by (chunk_idx, chunk_value) finds ALL of them (exact recall)
     * without an all-pairs join. Oversized chunk buckets are dropped
     * (skew guard — see object doc). */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bits: Int = 64,
-      family: TokenHashFamily = TokenHashFamily.XxHash64,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+  /** The exploded (id, sim, chunk, chunk-value) frame behind
+    * [[simhashNearDups]] — exposed for the skew-cap audit (see
+    * [[minhashBanded]]). */
+  private[graft] def simhashBanded(df: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int = 3, bits: Int = 64,
+      family: TokenHashFamily = TokenHashFamily.XxHash64): DataFrame = {
     val chunks = maxHamming + 1
     require(bits % chunks == 0, s"maxHamming+1=$chunks must divide bits=$bits")
     val bitsPer = bits / chunks
@@ -317,8 +330,15 @@ object Dedup {
       .select(col(idCol).as("_id"), simhashSig(col(textCol), bits, family).as("_sim"))
     val chunkVals = array((0 until chunks).map(k =>
       shiftright(col("_sim"), k * bitsPer).bitwiseAND(lit(chunkMask))): _*)
-    val banded = withSig.select(col("_id"), col("_sim"), posexplode(chunkVals))
+    withSig.select(col("_id"), col("_sim"), posexplode(chunkVals))
       .select(col("_id"), col("_sim"), col("pos").as("_chunk"), col("col").as("_cv"))
+  }
+
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bits: Int = 64,
+      family: TokenHashFamily = TokenHashFamily.XxHash64,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol, maxHamming, bits, family)
     val capped = capBuckets(banded, Seq("_chunk", "_cv"), maxBucketSize)
     val a = capped.select(col("_chunk"), col("_cv"),
       col("_id").as("id_a"), col("_sim").as("_sim_a"))
@@ -445,6 +465,100 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds — " +
           "raise maxIters (pathological graph diameter)")
     labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Cluster-keeper report — the step that turns [[connectedComponents]]'
+    * clusters into an actual REMOVAL decision, closing the
+    * detect → cluster → remove arc: one keeper per cluster, everything else
+    * removed. Returns one row per cluster:
+    * `(component_id, component_size, keeper_id, removed)`.
+    *
+    * The keeper policy is min-id — which by the min-label construction is
+    * exactly the component label, so `keeper_id == component_id` always;
+    * the column is still produced by a real `min` aggregate (computed, not
+    * aliased) so the report would expose a future labeling change rather
+    * than silently asserting the old invariant.
+    *
+    * Scale shape: inherits [[connectedComponents]]' ids-only frames; the
+    * report adds ONE counting groupBy over (node, component) pairs —
+    * clusters × members enter the exchange, never payloads. */
+  def clusterKeepers(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("component").as("component_id"))
+      .agg(count(lit(1)).as("component_size"),
+        min(col("node")).as("keeper_id"),
+        (count(lit(1)) - 1).as("removed"))
+
+  /** The removal set implied by per-cluster keeper selection: every
+    * clustered id EXCEPT its cluster's minimum. Single column `id` —
+    * directly composable as a [[cascade]] stage:
+    * {{{
+    * "cluster" -> (sv => Dedup.nonKeeperIds(
+    *   Dedup.minhashNearDups(sv, idCol, textCol), "id_a", "id_b")
+    *   .withColumnRenamed("id", idCol))
+    * }}}
+    * Ids in no pair never appear (they are their own keepers). The filter
+    * is label != node — no extra join over [[connectedComponents]]. */
+  def nonKeeperIds(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .where(col("node") =!= col("component"))
+      .select(col("node").as("id"))
+
+  // --------------------------------------------- incremental (append batch)
+
+  /** Frozen-corpus fingerprint STORE: `(fingerprint, keeper_id)` — one row
+    * per distinct normalized text, keeper = smallest corpus id. Build ONCE
+    * from corpus text, persist (parquet / bucketed table / Iceberg), and
+    * every future ingest batch dedups against the store WITHOUT re-reading
+    * corpus text ([[incrementalExact]]). At 10^12 rows the store is the
+    * only corpus-derived state an ingest pipeline keeps warm: fingerprints
+    * + ids, a few % of corpus bytes. Persist it BUCKETED by `fingerprint`
+    * (the [[graft.io.IcebergEmulation.writeBucketed]] discipline) and the
+    * per-batch classification join needs no store-side exchange at all —
+    * only the (small) batch shuffles. */
+  def fingerprintStore(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"))
+
+  /** Incremental (append-batch) exact dedup — the production ingest shape:
+    * classify a NEW batch against an EXISTING corpus represented only by
+    * its [[fingerprintStore]], handling batch-internal duplicates in the
+    * same pass. Returns one row per batch row: `(idCol, status, dup_of)`
+    * with status ∈ {'dup_of_corpus', 'dup_in_batch', 'new'}:
+    *  - `dup_of_corpus`: fingerprint exists in the store (EVERY such batch
+    *    row, including the batch's first occurrence — the corpus copy is
+    *    the keeper); `dup_of` = the store's keeper id.
+    *  - `dup_in_batch`: fingerprint is new to the corpus but repeated
+    *    inside the batch and this is not its smallest batch id;
+    *    `dup_of` = that smallest batch id (the batch keeper).
+    *  - `new`: first occurrence of a fingerprint the corpus has never
+    *    seen; `dup_of` is NULL. Exactly the 'new' rows (and their
+    *    fingerprints) get appended to corpus + store afterwards.
+    *
+    * Scale shape: corpus text is NEVER read — the store is the whole
+    * corpus-side input. The batch pays one fingerprint projection, one
+    * batch-sized min-window on the fingerprint, and one join against the
+    * store; with the store bucketed by fingerprint the join reads store
+    * buckets in place and only the batch (tiny vs corpus) shuffles. */
+  def incrementalExact(batch: DataFrame, idCol: String, textCol: String,
+      store: DataFrame): DataFrame = {
+    val wFp = Window.partitionBy(col("_fp"))
+    val fp = batch
+      .select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("_fp"))
+      .withColumn("_first_id", min(col(idCol)).over(wFp))
+    fp.join(
+        store.select(col("fingerprint").as("_fp"),
+          col("keeper_id").as("_corpus_keeper")),
+        Seq("_fp"), "left_outer")
+      .select(col(idCol),
+        when(col("_corpus_keeper").isNotNull, "dup_of_corpus")
+          .when(col(idCol) =!= col("_first_id"), "dup_in_batch")
+          .otherwise("new").as("status"),
+        when(col("_corpus_keeper").isNotNull, col("_corpus_keeper"))
+          .when(col(idCol) =!= col("_first_id"), col("_first_id"))
+          .as("dup_of"))
   }
 
   // -------------------------------------------------------------- cascade

@@ -336,6 +336,98 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("default skew cap is a no-op on the documents corpus (sf0.1)") {
+    // the driver queries run minhash/simhash dedup with the DEFAULT cap —
+    // the 100 TB configuration — while their oracles assert exact recall;
+    // this pin is what licenses that: on the real corpus at the LARGEST
+    // test scale no bucket comes near DefaultMaxBucketSize, so capped ≡
+    // uncapped (at sf0.01 it is bounded a priori: 500 docs < 1000). The
+    // q44 cascade corpus adds ≤30 planted rows with unique or
+    // pair-local texts — it cannot push any bucket past the cap either.
+    val real = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val maxMh = Dedup.minhashBanded(real, "doc_id", "text")
+      .groupBy("_band", "_bandhash").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxMh <= Dedup.DefaultMaxBucketSize,
+      s"largest minhash band bucket $maxMh exceeds the default cap — " +
+        "the capped driver queries would silently lose recall")
+    val sh = Dedup.simhashBanded(real, "doc_id", "text", maxHamming = 3,
+      bits = 60, family = Dedup.TokenHashFamily.Custom(
+        graft.text.TextAnalysis.md5Hash60))
+    val maxSh = sh.groupBy("_chunk", "_cv").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxSh <= Dedup.DefaultMaxBucketSize,
+      s"largest simhash chunk bucket $maxSh exceeds the default cap")
+  }
+
+  test("clusterKeepers closes detect -> cluster -> remove: one keeper per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val rep = Dedup.clusterKeepers(pairs, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("component_id") ->
+        ((r.getAs[Long]("component_size"), r.getAs[Long]("keeper_id"),
+          r.getAs[Long]("removed")))).toMap
+    assert(rep === Map(1L -> ((6L, 1L, 5L)), 10L -> ((3L, 10L, 2L)),
+      20L -> ((2L, 20L, 1L))))
+    // keeper == component label for every cluster (the min-label invariant
+    // the aggregate must reproduce, not assume)
+    assert(rep.forall { case (cid, (_, keeper, _)) => cid == keeper })
+    // the implied removal set: everything except each cluster's min
+    assert(Dedup.nonKeeperIds(pairs, "id_a", "id_b").as[Long].collect().toSet
+      === Set(2L, 3L, 4L, 5L, 6L, 11L, 12L, 21L))
+  }
+
+  test("nonKeeperIds composes as a cascade stage (cluster-keeper dedup)") {
+    // pairs at 0.55 over docs: (1,2) j=1.0, (1,3)/(2,3) j=0.6 — one
+    // cluster {1,2,3}, keeper 1 → the stage removes exactly {2,3}
+    val report = Dedup.cascade(docs, "doc_id", Seq(
+      "cluster" -> (sv => Dedup.nonKeeperIds(
+        Dedup.minhashNearDups(sv, "doc_id", "text", threshold = 0.55),
+        "id_a", "id_b").withColumnRenamed("id", "doc_id"))))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("removed"), r.getAs[Long]("surviving")))).toMap
+    assert(report("cluster") === ((2L, 3L)), report.toString)
+  }
+
+  test("incrementalExact classifies an append batch against a frozen store") {
+    // store over docs: fp(base) -> keeper 1 (docs 1,2,5 share the
+    // normalized fingerprint), fp(near) -> 3, fp(other) -> 4
+    val store = Dedup.fingerprintStore(docs, "doc_id", "text")
+    assert(store.count() === 3L)
+    val batch = Seq(
+      // case variant of base: normalizes into the corpus → corpus keeper
+      (100L, "THE QUICK BROWN FOX jumps over the lazy dog and runs far away today"),
+      (101L, near), // verbatim corpus dup → keeper 3
+      (102L, "a brand new document"), // first occurrence → new
+      (103L, "a brand new document"), // batch-internal repeat → 102
+      (104L, "another fresh one"), // new
+      (105L, base), // corpus dup EVEN THOUGH 100 shares its fingerprint:
+                    // the corpus copy outranks any batch-first claim
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, "doc_id", "text", store)
+      .collect().map { r =>
+        val dupOf = if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of"))
+        r.getAs[Long]("doc_id") -> ((r.getAs[String]("status"), dupOf))
+      }.toMap
+    assert(out === Map(
+      100L -> (("dup_of_corpus", Some(1L))),
+      101L -> (("dup_of_corpus", Some(3L))),
+      102L -> (("new", None)),
+      103L -> (("dup_in_batch", Some(102L))),
+      104L -> (("new", None)),
+      105L -> (("dup_of_corpus", Some(1L)))), out.toString)
+    // an empty store classifies everything by batch structure alone
+    val cold = Dedup.incrementalExact(batch, "doc_id", "text",
+      store.where(lit(false)))
+    assert(cold.where(col("status") === "dup_of_corpus").isEmpty)
+    // fp groups inside the batch: {100,105} (case-normalized base),
+    // {102,103}, {101}, {104} → 4 firsts, 2 batch-internal dups
+    assert(cold.where(col("status") === "new").count() === 4L)
+    assert(cold.where(col("status") === "dup_in_batch").count() === 2L)
+  }
+
   test("decontaminate flags n-gram overlap with a benchmark suite") {
     // suite = doc 1's text plus a short prompt under 4 tokens (whole-text
     // shingle fallback must still match doc 6). Mutated leaks — the

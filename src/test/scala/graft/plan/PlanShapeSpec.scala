@@ -208,6 +208,36 @@ class PlanShapeSpec extends AnyFunSuite {
       "stratifiedSample must not shuffle — it is a per-row filter")
   }
 
+  test("incremental dedup: corpus text never re-read, store side is fingerprints-only") {
+    // the q51 ingest shape: the frozen corpus is represented ONLY by its
+    // fingerprint store; the classification plan must (a) scan the
+    // documents parquet exactly once — for the BATCH side — never for the
+    // corpus, (b) read only (fingerprint, keeper_id) from the store, and
+    // (c) shuffle no text column (ids/fingerprints only)
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val storeDir = Files.createTempDirectory("graft-fpstore-pin").toString + "/store"
+    Dedup.fingerprintStore(docs, "doc_id", "text").write.parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
+    def classified = Dedup.incrementalExact(
+      docs.where(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")),
+      "doc_id", "text", store)
+    val plan = planString(classified)
+    val docScans = plan.linesIterator.count(_.contains("documents.parquet"))
+    assert(docScans === 1,
+      s"expected exactly one documents scan (the batch side), got $docScans:\n" +
+        plan.linesIterator.filter(_.contains("parquet")).mkString("\n"))
+    val storeReads = plan.linesIterator
+      .filter(l => l.contains("store") && l.contains("ReadSchema")).toList
+    assert(storeReads.nonEmpty, plan.take(2000))
+    assert(!storeReads.exists(_.contains("text")),
+      s"store scan reads more than fingerprints:\n${storeReads.mkString("\n")}")
+    val shuffles = shuffleOutputs(classified)
+    assert(!shuffles.exists(_.contains("text")),
+      s"text entered an incremental-dedup exchange: $shuffles")
+  }
+
   test("checkpoint resume runs a constant number of jobs (batched, not per-partition)") {
     val sc = spark.sparkContext
     val tmp = Files.createTempDirectory("graft-ckpt-jobs").toString

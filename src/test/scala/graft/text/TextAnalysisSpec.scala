@@ -81,4 +81,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one(TextAnalysis.rollingHash(col("t")), "") ===
       one(TextAnalysis.rollingHashColumnForm(col("t")), ""))
   }
+
+  test("duplicate-line fraction: repetition signal over newline lines") {
+    assert(one(TextAnalysis.duplicateLineFraction(col("t")),
+      "no newline here").asInstanceOf[Double] === 0.0)
+    assert(one(TextAnalysis.duplicateLineFraction(col("t")),
+      "nav bar\ncontent here\nnav bar\nfooter").asInstanceOf[Double] === 0.25)
+    assert(one(TextAnalysis.duplicateLineFraction(col("t")),
+      "same\nsame").asInstanceOf[Double] === 0.5)
+    // the integer-inequality form of "fraction >= 1/2" agrees
+    val t = col("t")
+    val pred = (TextAnalysis.lineCount(t) - TextAnalysis.distinctLineCount(t))
+      .multiply(2) >= TextAnalysis.lineCount(t)
+    assert(one(pred, "same\nsame") === true)
+    assert(one(pred, "nav\ncontent\nnav\nfooter") === false)
+  }
+
+  test("ngrams: multiset with whole-text fallback; topCount finds the mode") {
+    assert(one(TextAnalysis.ngrams(col("t"), 3), "a b c d") ===
+      Seq("a b c", "b c d"))
+    // MULTISET: the repeated trigram is kept (it is the signal)
+    assert(one(TextAnalysis.ngrams(col("t"), 3), "x y x y x") ===
+      Seq("x y x", "y x y", "x y x"))
+    // under n tokens: the whole text is one shingle
+    assert(one(TextAnalysis.ngrams(col("t"), 3), "a b") === Seq("a b"))
+    val withNg = Seq("spam ham spam ham spam ham eggs").toDF("t")
+      .withColumn("_ng", TextAnalysis.ngrams(col("t"), 2))
+    val r = withNg.select(TextAnalysis.topCount(col("_ng")).as("top"),
+      size(col("_ng")).as("n")).head()
+    // bigrams: "spam ham" x3, "ham spam" x2, "ham eggs" x1
+    assert(r.getAs[Int]("top") === 3 && r.getAs[Int]("n") === 6)
+  }
 }
