@@ -901,7 +901,18 @@ object SparkEntry {
     "q51_incremental_dedup" -> ((s, dir) => {
       import graft.dedup.Dedup
       val docs = tbl(s, dir, "documents")
-      val sfKey = new java.io.File(dir).getName.replace('.', '_')
+      // key the frozen store by a CONTENT fingerprint of the corpus files
+      // (name/length/mtime), never the dir basename: a basename-keyed
+      // cache silently serves a stale or foreign corpus when fixtures are
+      // regenerated or two base dirs share a leaf name (q39's cache keys
+      // by generator version + params under the same discipline)
+      val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val docsFs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val sfKey = java.security.MessageDigest.getInstance("MD5")
+        .digest(docsFs.listStatus(docsPath)
+          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+          .sorted.mkString("|").getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
       val storeTbl = s"graft_fpstore_$sfKey"
       if (!s.catalog.tableExists(storeTbl))
         graft.io.IcebergEmulation.writeBucketed(
@@ -925,11 +936,15 @@ object SparkEntry {
     // verdict next-round #3): duplicate-line fraction and top-trigram
     // mass — the published repetition filters that actually bite on web
     // corpora. Both are row-local, so they slot into the q49 one-scan
-    // when-chain; the trigram array is materialized ONCE per row
-    // (TextAnalysis.topCount doc: Catalyst does not CSE across HOF
-    // lambdas). Thresholds are INTEGER inequalities (dup fraction >= 1/2
-    // as (lines-distinct)*2 >= lines; trigram mass > 1/10 as
-    // 10*topCount > trigrams) so no verdict hinges on double rounding.
+    // when-chain; the trigram array is materialized ONCE per row via the
+    // native Dedup.shingles expression (TextAnalysis.topCount doc:
+    // Catalyst does not CSE across HOF lambdas). Thresholds are INTEGER
+    // inequalities (dup fraction >= 1/2 as (lines-distinct)*2 >= lines;
+    // trigram mass > 1/10 as 10*topCount > trigrams) so no verdict hinges
+    // on double rounding. The mass rule is GATED on >= 10 trigrams —
+    // below that, 10*topCount > size holds for ANY doc (topCount >= 1),
+    // so an ungated ratio rule silently removes every <= 11-token doc;
+    // Gopher gates its ratio rules behind min-length for this reason.
     // Plants make each rule remove real rows at every scale: doc_id%7==3
     // re-appends the whole text as a second newline-joined line (dup
     // fraction exactly 1/2); doc_id%13==6 appends ' buy gold now' x20
@@ -944,14 +959,15 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 13 === 6,
           concat(col("text"), repeat(lit(" buy gold now"), 20)))
           .otherwise(col("text")))
-        .withColumn("_ng", TextAnalysis.ngrams(col("text"), 3))
+        .withColumn("_ng", graft.dedup.Dedup.shingles(col("text"), 3))
       val t = col("text")
       FilterReport.report(planted.select(col("doc_id"), t, col("_ng")), Seq(
         "dup_lines" ->
           ((TextAnalysis.lineCount(t) - TextAnalysis.distinctLineCount(t)) * 2
             < TextAnalysis.lineCount(t)),
         "repeated_ngram" ->
-          (TextAnalysis.topCount(col("_ng")) * 10 <= size(col("_ng"))),
+          (size(col("_ng")) < 10 ||
+            TextAnalysis.topCount(col("_ng")) * 10 <= size(col("_ng"))),
         "low_stopword" -> (TextAnalysis.stopwordRatio(t) >= 0.05)))
     }),
 
@@ -1868,7 +1884,7 @@ object SparkEntry {
         |   WHEN NOT COALESCE(
         |     (len(lns) - len(list_distinct(lns))) * 2 < len(lns), FALSE)
         |     THEN 'dup_lines'
-        |   WHEN NOT COALESCE(
+        |   WHEN NOT COALESCE(len(ng) < 10 OR
         |     list_max(list_transform(ng, x -> len(list_filter(ng, y -> y = x))))
         |       * 10 <= len(ng), FALSE)
         |     THEN 'repeated_ngram'

@@ -65,19 +65,23 @@ object ManifestCheckpoint {
         expr(s"bit_xor(xxhash64($allCols))").as("content_hash"))
   }
 
-  def readManifest(spark: SparkSession, manifestDir: String): Option[DataFrame] = {
-    // probe existence first: a first run has no manifest yet, and letting
-    // spark.read.parquet throw on the missing dir logs a full stack trace
-    // into the driver output for the EXPECTED case (round-6 verdict #2 —
-    // the trace consumed most of the bench artifact's stdout capture)
-    val path = new org.apache.hadoop.fs.Path(manifestDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) None
-    else try {
-      val df = spark.read.parquet(manifestDir)
-      if (df.columns.contains("partition_value")) Some(df) else None
+  def readManifest(spark: SparkSession, manifestDir: String): Option[DataFrame] =
+    try {
+      // probe existence first: a first run has no manifest yet, and letting
+      // spark.read.parquet throw on the missing dir logs a full stack trace
+      // into the driver output for the EXPECTED case (round-6 verdict #2 —
+      // the trace consumed most of the bench artifact's stdout capture).
+      // The probe stays INSIDE the try: this function's contract is
+      // never-throws (malformed dir strings and filesystems whose exists()
+      // errors must read as "no manifest", not crash resume planning)
+      val path = new org.apache.hadoop.fs.Path(manifestDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) None
+      else {
+        val df = spark.read.parquet(manifestDir)
+        if (df.columns.contains("partition_value")) Some(df) else None
+      }
     } catch { case _: Exception => None }
-  }
 
   /** Latest manifest entry per partition (by completed_at_ms). */
   def latestEntries(manifest: DataFrame): DataFrame = {

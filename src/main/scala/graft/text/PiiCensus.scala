@@ -29,15 +29,23 @@ object PiiCensus {
     "ipv4" -> "([0-9]{1,3}[.]){3}[0-9]{1,3}",
   )
 
+  private def validateRules(rules: Seq[(String, String)]): Unit = {
+    require(rules.nonEmpty, "PiiCensus needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule class names must be unique (they key the census)")
+  }
+
   /** Per-document match counts: the input plus one `<class>_matches` column
     * per rule — the annotation a redaction pass filters on. NULL text
     * counts 0 for every class (nothing to scrub). One projection. */
   def perDocument(df: DataFrame, textCol: String,
-      rules: Seq[(String, String)] = DefaultRules): DataFrame =
+      rules: Seq[(String, String)] = DefaultRules): DataFrame = {
+    validateRules(rules) // a duplicate name would silently CLOBBER its column
     rules.foldLeft(df) { case (acc, (name, re)) =>
       acc.withColumn(s"${name}_matches",
         coalesce(regexp_count(col(textCol), lit(re)), lit(0)))
     }
+  }
 
   /** The census: one row per rule class,
     * `(pii_class, docs_hit, total_matches)` — classes with zero hits are
@@ -47,9 +55,7 @@ object PiiCensus {
     * exchange is counts-only. */
   def census(df: DataFrame, textCol: String,
       rules: Seq[(String, String)] = DefaultRules): DataFrame = {
-    require(rules.nonEmpty, "PiiCensus needs at least one rule")
-    require(rules.map(_._1).distinct.size == rules.size,
-      "rule class names must be unique (they key the census)")
+    validateRules(rules)
     val entries = rules.map { case (name, re) =>
       struct(lit(name).as("pii_class"),
         coalesce(regexp_count(col(textCol), lit(re)), lit(0)).as("matches"))

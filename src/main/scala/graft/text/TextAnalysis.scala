@@ -104,31 +104,21 @@ object TextAnalysis {
       .otherwise((lineCount(c) - distinctLineCount(c)).cast("double")
         / lineCount(c))
 
-  /** Word n-grams as a composed column: multiset (duplicates KEPT — they
-    * are what repetition analysis measures), whole-text fallback when the
-    * doc has fewer than n tokens — identical semantics to
-    * [[graft.dedup.Dedup.shingles]] and to the DuckDB
-    * `list_transform(generate_series(...))` oracle recipe. */
-  def ngrams(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
-
   /** Occurrence count of the most frequent element of an ARRAY column —
-    * with [[ngrams]] this is the top-n-gram repetition mass numerator
-    * (Gopher's "fraction of characters in the most common n-gram", in
-    * count form for exact integer arithmetic). Row-local O(k²) per row
-    * (k = array length — bounded by doc token count, never by table size).
+    * over word n-grams (project them with [[graft.dedup.Dedup.shingles]],
+    * the native multiset expression; duplicates are the signal) this is
+    * the top-n-gram repetition mass numerator (Gopher's "fraction of
+    * characters in the most common n-gram", in count form for exact
+    * integer arithmetic). Row-local O(k²) per row (k = array length —
+    * bounded by doc token count, never by table size).
     *
     * Takes a COLUMN REFERENCE to a previously-projected array, not a text
     * column: the array appears in both lambda levels below, and Catalyst
-    * does not CSE across higher-order-function lambdas — an inline ngrams
-    * expression here would rebuild the whole shingle array once per outer
-    * element (O(k² · shingling), the q14 round-2 lesson at
+    * does not CSE across higher-order-function lambdas — an inline
+    * shingles expression here would rebuild the whole array once per
+    * outer element (O(k² · shingling), the q14 round-2 lesson at
     * `Dedup.minhashSignatureColumnForm`). Materialize the array with
-    * `.withColumn("_ng", TextAnalysis.ngrams(...))` first, then pass
+    * `.withColumn("_ng", Dedup.shingles(...))` first, then pass
     * `col("_ng")`. */
   def topCount(arr: Column): Column =
     array_max(transform(arr, x => size(filter(arr, y => y === x))))

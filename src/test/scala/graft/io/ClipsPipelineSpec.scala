@@ -208,6 +208,20 @@ class ClipsPipelineSpec extends AnyFunSuite {
     assert(m.columns.contains("content_hash") && m.columns.contains("error_rows"))
   }
 
+  test("readManifest never throws: missing, malformed, and junk dirs read as None") {
+    val tmp = Files.createTempDirectory("graft-ckpt-none").toString
+    // missing dir (the expected first-run case — also must log no trace)
+    assert(ManifestCheckpoint.readManifest(spark, s"$tmp/nope").isEmpty)
+    // dir with non-manifest parquet (no partition_value column)
+    Seq((1, "x")).toDF("a", "b").write.parquet(s"$tmp/other")
+    assert(ManifestCheckpoint.readManifest(spark, s"$tmp/other").isEmpty)
+    // malformed path strings must not escape as exceptions either —
+    // resume planning treats every unreadable manifest as "no manifest"
+    assert(ManifestCheckpoint.readManifest(spark, "").isEmpty)
+    assert(ManifestCheckpoint.readManifest(spark,
+      "hdfs://bad_host:0:0/x").isEmpty)
+  }
+
   test("verbatim-copy append is caught by the row count where the XOR hash cancels") {
     // the lineage fingerprint is (rows, bit_xor of whole-row hashes). XOR
     // is blind to any appended MULTISET whose own XOR is zero — the

@@ -51,5 +51,12 @@ class PiiCensusSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       PiiCensus.census(docs, "text", Nil).collect()
     }
+    // perDocument too — a duplicate name would silently clobber its column
+    intercept[IllegalArgumentException] {
+      PiiCensus.perDocument(docs, "text", Seq("a" -> "x", "a" -> "y"))
+    }
+    intercept[IllegalArgumentException] {
+      PiiCensus.perDocument(docs, "text", Nil)
+    }
   }
 }

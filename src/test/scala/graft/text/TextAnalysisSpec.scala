@@ -97,19 +97,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(one(pred, "nav\ncontent\nnav\nfooter") === false)
   }
 
-  test("ngrams: multiset with whole-text fallback; topCount finds the mode") {
-    assert(one(TextAnalysis.ngrams(col("t"), 3), "a b c d") ===
-      Seq("a b c", "b c d"))
-    // MULTISET: the repeated trigram is kept (it is the signal)
-    assert(one(TextAnalysis.ngrams(col("t"), 3), "x y x y x") ===
-      Seq("x y x", "y x y", "x y x"))
-    // under n tokens: the whole text is one shingle
-    assert(one(TextAnalysis.ngrams(col("t"), 3), "a b") === Seq("a b"))
+  test("topCount finds the mode of an n-gram multiset (Dedup.shingles)") {
+    // the repetition-mass numerator rides the native multiset shingler —
+    // no composed duplicate of it lives in TextAnalysis
+    import graft.dedup.Dedup
     val withNg = Seq("spam ham spam ham spam ham eggs").toDF("t")
-      .withColumn("_ng", TextAnalysis.ngrams(col("t"), 2))
+      .withColumn("_ng", Dedup.shingles(col("t"), 2))
     val r = withNg.select(TextAnalysis.topCount(col("_ng")).as("top"),
       size(col("_ng")).as("n")).head()
     // bigrams: "spam ham" x3, "ham spam" x2, "ham eggs" x1
     assert(r.getAs[Int]("top") === 3 && r.getAs[Int]("n") === 6)
+    // works on any array column, e.g. newline lines
+    assert(one(TextAnalysis.topCount(TextAnalysis.lines(col("t"))),
+      "nav\ncontent\nnav\nnav") === 3)
   }
 }
