@@ -908,13 +908,30 @@ object SparkEntry {
       // by generator version + params under the same discipline)
       val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
       val docsFs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val sfKey = java.security.MessageDigest.getInstance("MD5")
+      val corpusName = new java.io.File(dir).getName.replace('.', '_')
+      val contentKey = java.security.MessageDigest.getInstance("MD5")
         .digest(docsFs.listStatus(docsPath)
           .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
           .sorted.mkString("|").getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
+      // <corpus>_<contenthash>: the basename prefix scopes cleanup —
+      // same-corpus keys with a DIFFERENT content hash are definitionally
+      // superseded (regenerated fixtures) and dropped below, while stores
+      // for other corpora (other scale factors) coexist untouched
+      val sfKey = s"${corpusName}_$contentKey"
       val storeTbl = s"graft_fpstore_$sfKey"
-      if (!s.catalog.tableExists(storeTbl))
+      if (!s.catalog.tableExists(storeTbl)) {
+        import s.implicits._
+        s.catalog.listTables().map(_.name).collect()
+          .filter(t => t.startsWith(s"graft_fpstore_${corpusName}_") && t != storeTbl)
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+        val storeRoot = new org.apache.hadoop.fs.Path(
+          s"${OracleTables.ScratchRoot}/graft-fpstore")
+        val storeFs = storeRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (storeFs.exists(storeRoot))
+          storeFs.listStatus(storeRoot).map(_.getPath)
+            .filter(p => p.getName.startsWith(s"${corpusName}_") && p.getName != sfKey)
+            .foreach(p => storeFs.delete(p, true))
         graft.io.IcebergEmulation.writeBucketed(
           Dedup.fingerprintStore(docs, "doc_id", "text"),
           TableSpec("fp_store", Seq(
@@ -922,6 +939,7 @@ object SparkEntry {
             ColumnSpec("keeper_id", LongType)), keyCols = Seq("fingerprint")),
           storeTbl, buckets = 16,
           path = Some(s"${OracleTables.ScratchRoot}/graft-fpstore/$sfKey"))
+      }
       val store = s.table(storeTbl)
       val batch = docs
         .where(col("doc_id") >= 100 && col("doc_id") < 150)

@@ -81,7 +81,17 @@ object ManifestCheckpoint {
         val df = spark.read.parquet(manifestDir)
         if (df.columns.contains("partition_value")) Some(df) else None
       }
-    } catch { case _: Exception => None }
+    } catch {
+      case e: Exception =>
+        // no-manifest fallback — but say WHY on the way down: a transient
+        // FS failure on an existing manifest reads as "first run" and
+        // silently re-validates everything; one WARN line (no stack trace
+        // — the round-6 artifact-hygiene lesson) makes that diagnosable
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"manifest read failed, treating as no manifest: $manifestDir " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage})")
+        None
+    }
 
   /** Latest manifest entry per partition (by completed_at_ms). */
   def latestEntries(manifest: DataFrame): DataFrame = {
