@@ -1049,6 +1049,59 @@ object SparkEntry {
       DriftCheck.categoricalCompare(labeled(docs), labeled(cur),
         "lang_pred", Seq("source"), maxShiftThreshold = 0.05)
     }),
+
+    // Reference-FREE audio quality census (round 7): absolute signal
+    // statistics over decoded PCM — RMS dBFS, hard-clip fraction, silence
+    // fraction, DC ratio — banded into curation verdicts with NO golden
+    // signal (the realistic 100 TB posture: AudioInvariantCheck needs a
+    // reference PCM; most real ingest rows have none). The injected
+    // corruption classes surface as distinct reference-free signatures,
+    // each measured over the full feasible (freq, sr) space
+    // (QualityBandSweep): zeroed pcm_s16le → half silence; zeroed flac →
+    // decode failure; zeroed pcm_mulaw → a −32124 rail (clipping); zeroed
+    // pcm_alaw → a loud DC constant; zeroed adpcm_ima → half silence
+    // (zeroed block headers reset the predictor to 0). Plants add true
+    // hard-clipping (amplitude 1.5, clamped — ≥49.5% of samples at the
+    // rail) and a quiet clip (amplitude 0.02 → −37 dBFS). The oracle
+    // predicts every band by id arithmetic; the Spark side EARNS it by
+    // decoding all five formats and measuring.
+    "q56_quality_census" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val clips = OracleTables.clips(s, n)
+      val id = expr("CAST(substring(clip_id, 6, 12) AS BIGINT)")
+      val quietU = udf((i: Long) => graft.io.ClipsGenerator.quietBytes(i, 25))
+      val clipU = udf((i: Long) => graft.io.ClipsGenerator.clippedBytes(i, 25))
+      val planted = clips
+        .withColumn("bytes",
+          when(id % 5000 === 21, quietU(id))
+            .when(id % 5000 === 27, clipU(id))
+            .otherwise(col("bytes")))
+        .withColumn("codec",
+          when(id % 5000 === 21 || id % 5000 === 27, lit("pcm_s16le"))
+            .otherwise(col("codec")))
+      graft.validate.QualityCensus.census(planted)
+    }),
+
+    // Cross-corpus LINE dedup (round 7) — the C4 rule (discard every
+    // repeated span corpus-wide, first occurrence wins): per-doc removal
+    // report for docs losing at least one line. Plants append two
+    // boilerplate footer lines (%3==0 and %5==2; %15∈{0,12,...}∩... —
+    // doc_id%15==12 gets BOTH), and sf0.1's planted exact-duplicate docs
+    // contribute their shared line 0. The first-occurrence rule is a
+    // min(struct(doc,pos)) AGGREGATE (map-side combinable — a hot
+    // boilerplate line collapses per-partition instead of sorting inside
+    // one window task); DuckDB replays it with a row_number window, which
+    // is equivalent because (doc_id, pos) is unique.
+    "q57_line_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val planted = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit("\nfollow us on example social"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 2, lit("\nall rights reserved example"))
+          .otherwise(lit(""))))
+      graft.dedup.Dedup.lineDedupReport(
+        planted.select("doc_id", "text"), "doc_id", "text")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2040,6 +2093,57 @@ object SparkEntry {
          |        ORDER BY shift DESC, cat ASC) AS rn FROM shifts)
          |WHERE rn = 1""".stripMargin
     },
+
+    // every band is a pure function of (id arithmetic, codec) — measured
+    // over the full feasible parameter space by QualityBandSweep; the
+    // Spark side earns these rows by decoding five formats and measuring
+    // RMS/clip/silence/DC per clip
+    "q56_quality_census" ->
+      s"""WITH c AS (
+         | SELECT CASE WHEN CAST(substr(clip_id, 6) AS BIGINT) % 5000
+         |     IN (21, 27) THEN 'pcm_s16le' ELSE codec END AS codec,
+         |   CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m,
+         |   codec AS codec0
+         | FROM $clips
+         |)
+         |SELECT codec,
+         |  CASE WHEN m = 21 THEN 'quiet'
+         |       WHEN m = 27 THEN 'clipped'
+         |       WHEN m = 17 THEN
+         |         CASE codec0 WHEN 'flac' THEN 'undecodable'
+         |              WHEN 'pcm_mulaw' THEN 'clipped'
+         |              WHEN 'pcm_alaw' THEN 'dc_bias'
+         |              ELSE 'half_silent' END
+         |       ELSE 'nominal' END AS band,
+         |  COUNT(*) AS clips
+         |FROM c GROUP BY codec, band""".stripMargin,
+
+    // identical plants, then the same first-(doc,pos)-wins rule via a
+    // window — equivalent to the engine's min(struct) aggregate because
+    // (doc_id, pos) is unique
+    "q57_line_dedup" ->
+      s"""WITH p AS (
+         | SELECT doc_id, text
+         |   || CASE WHEN doc_id % 3 = 0
+         |        THEN chr(10) || 'follow us on example social' ELSE '' END
+         |   || CASE WHEN doc_id % 5 = 2
+         |        THEN chr(10) || 'all rights reserved example' ELSE '' END
+         |   AS text
+         | FROM documents
+         |), t AS (SELECT doc_id, str_split(text, chr(10)) AS ls FROM p),
+         |l AS (SELECT doc_id,
+         |        unnest(generate_series(1, len(ls))) AS pos,
+         |        unnest(ls) AS line FROM t),
+         |r AS (SELECT doc_id,
+         |        ROW_NUMBER() OVER (PARTITION BY line
+         |          ORDER BY doc_id, pos) AS rn FROM l),
+         |d AS (SELECT doc_id, COUNT(*) AS line_count,
+         |        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS lines_removed
+         |      FROM r GROUP BY doc_id)
+         |SELECT doc_id, line_count, lines_removed,
+         |  lines_removed = line_count AS emptied
+         |FROM d WHERE lines_removed > 0""".stripMargin,
     )
   }
 }

@@ -30,8 +30,13 @@ object WavCodec {
   }
 
   /** Mono 16-bit PCM sine, amplitude 0..1, little-endian RIFF container. */
-  def synthSine(freqHz: Double, durMs: Int, srHz: Int, amplitude: Double = 0.5): Array[Byte] = {
-    val samples = synthSineSamples(freqHz, durMs, srHz, amplitude)
+  def synthSine(freqHz: Double, durMs: Int, srHz: Int, amplitude: Double = 0.5): Array[Byte] =
+    wrapPcm16(srHz, synthSineSamples(freqHz, durMs, srHz, amplitude))
+
+  /** Wrap raw mono s16le samples in a RIFF/WAVE container — the PCM
+    * "encode" counterpart of [[decodePcm16]] (every other codec label has
+    * its own `encode`). */
+  def wrapPcm16(srHz: Int, samples: Array[Short]): Array[Byte] = {
     val dataSize = samples.length * 2
     val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)

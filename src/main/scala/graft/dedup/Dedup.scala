@@ -106,6 +106,36 @@ object Dedup {
       .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keeper_id"))
       .where(col("dup_count") > 1)
 
+  /** Cross-corpus LINE dedup report — the C4 rule (Raffel et al. 2020
+    * §2.2 discard every repeated three-sentence span corpus-wide; modern
+    * pipelines apply it per line): keep only the FIRST occurrence
+    * (minimum (doc, position)) of every distinct line, report per-doc
+    * removal counts for docs that lose at least one line:
+    * (id, line_count, lines_removed, emptied).
+    *
+    * Scale shape: the first-occurrence rule is a `min(struct(id, pos))`
+    * AGGREGATE, not a `row_number` window — partial aggregation collapses
+    * a boilerplate line repeated 10^9 times to one candidate per map task,
+    * where a window would sort the whole hot line inside a single task
+    * (the q44/q50 degenerate-bucket lesson). Only (line, id, pos) tuples
+    * ever shuffle — whole documents never do — and the join back is
+    * line-keyed, so AQE's skew split covers the hot keys. */
+  def lineDedupReport(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_keeper"))
+    lines.join(firsts, Seq("line"))
+      .withColumn("_removed",
+        !(col(idCol) === col(s"_keeper.$idCol") &&
+          col("pos") === col("_keeper.pos")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("line_count"),
+        sum(when(col("_removed"), 1L).otherwise(0L)).as("lines_removed"))
+      .where(col("lines_removed") > 0)
+      .withColumn("emptied", col("lines_removed") === col("line_count"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Composed-column shingling — parity baseline for the native

@@ -113,6 +113,33 @@ object ClipsGenerator {
     }
   }
 
+  /** Planted QUIET variant of clip i (q56 quality census): the same tone
+    * shape at amplitude 0.02 (−37 dBFS RMS — under the −30 quiet line,
+    * above the silence floor), PCM container. Pure function of i like
+    * every other plant, so the oracle predicts the band by id arithmetic. */
+  def quietBytes(i: Long, maxSynthMs: Int): Array[Byte] =
+    WavCodec.synthSine(freqHz(i), math.min(durMs(i), maxSynthMs), srHz(i),
+      amplitude = 0.02)
+
+  /** Planted HARD-CLIPPED variant of clip i (q56): amplitude 1.5 sine
+    * CLAMPED to the s16 rails (synthSineSamples would wrap on overflow —
+    * real clipping saturates), ~53% of samples at the rail. */
+  def clippedBytes(i: Long, maxSynthMs: Int): Array[Byte] = {
+    val sr = srHz(i)
+    val ms = math.min(durMs(i), maxSynthMs)
+    val n = math.max(0, (sr.toLong * ms / 1000).toInt)
+    val out = new Array[Short](n)
+    val scale = 1.5 * Short.MaxValue
+    var k = 0
+    while (k < n) {
+      val v = math.round(math.sin(2.0 * math.Pi * freqHz(i) * k / sr) * scale)
+      out(k) = math.max(Short.MinValue.toLong,
+        math.min(Short.MaxValue.toLong, v)).toShort
+      k += 1
+    }
+    WavCodec.wrapPcm16(sr, out)
+  }
+
   /** Build one clean clip. */
   def clip(i: Long, maxSynthMs: Int = 50): Clip =
     Clip(clipId(i), payloadBytes(i, maxSynthMs), srHz(i), durMs(i),

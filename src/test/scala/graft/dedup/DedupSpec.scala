@@ -451,4 +451,45 @@ class DedupSpec extends AnyFunSuite {
       Seq((9L, other)).toDF("doc_id", "text"),
       "doc_id", "text", bench, "bench_id", "btext", n = 4).count() === 0L)
   }
+
+  test("line dedup: first (doc, pos) occurrence wins corpus-wide") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\ngamma"),   // all first occurrences — not reported
+      (2L, "beta\ndelta"),          // loses beta to doc 1
+      (3L, "alpha\nbeta"),          // loses both → emptied
+      (4L, "echo\necho"),           // within-doc dup: second echo removed
+      (5L, "foxtrot")).toDF("doc_id", "text")
+    val got = Dedup.lineDedupReport(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("line_count"), r.getAs[Long]("lines_removed"),
+          r.getAs[Boolean]("emptied")))).toMap
+    assert(got === Map(
+      2L -> ((2L, 1L, false)),
+      3L -> ((2L, 2L, true)),
+      4L -> ((2L, 1L, false))),
+      s"docs 1 and 5 keep everything and must not appear — got $got")
+  }
+
+  test("line dedup keeper is min(struct), not arrival order") {
+    // doc 9 arrives first in the data but doc 2 owns the line: min(doc,pos)
+    val docs = Seq((9L, "shared"), (2L, "shared\nown"))
+      .toDF("doc_id", "text").repartition(4)
+    val got = Dedup.lineDedupReport(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id")).toSeq
+    assert(got === Seq(9L), s"doc 9 loses 'shared' to (2, 0) — got $got")
+  }
+
+  test("line dedup: the first-occurrence rule is an aggregate, not a window") {
+    // the physical plan must contain a partial (map-side) aggregate on the
+    // line key and NO window operator — the skew-safety property the
+    // scaladoc promises (a window would sort a hot boilerplate line
+    // inside one task)
+    val docs = Seq((1L, "a\nb"), (2L, "a")).toDF("doc_id", "text")
+    val plan = Dedup.lineDedupReport(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window operator in plan:\n$plan")
+    assert(plan.contains("partial_min") || plan.contains("partial"),
+      s"no partial aggregate in plan:\n$plan")
+  }
 }
