@@ -21,6 +21,44 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Content-keyed cache discipline for frozen corpus-derived store
+    * tables (q51/q58): the table is keyed by
+    * `<corpusbasename>_<md5 of the corpus files' name/length/mtime>` —
+    * never the dir basename alone, so a regenerated or foreign corpus can
+    * never be served a stale store — and same-corpus keys with a DIFFERENT
+    * content hash are definitionally superseded (regenerated fixtures) and
+    * dropped, while stores for other corpora (other scale factors) coexist
+    * untouched. `build(tableName, path)` runs only when the keyed table
+    * does not exist yet; returns the table name. */
+  private def cachedCorpusStore(s: SparkSession, dir: String,
+      prefix: String)(build: (String, String) => Unit): String = {
+    val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val docsFs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val corpusName = new java.io.File(dir).getName.replace('.', '_')
+    val contentKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(docsFs.listStatus(docsPath)
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|").getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val sfKey = s"${corpusName}_$contentKey"
+    val storeTbl = s"graft_${prefix}_$sfKey"
+    if (!s.catalog.tableExists(storeTbl)) {
+      import s.implicits._
+      s.catalog.listTables().map(_.name).collect()
+        .filter(t => t.startsWith(s"graft_${prefix}_${corpusName}_") && t != storeTbl)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val storeRoot = new org.apache.hadoop.fs.Path(
+        s"${OracleTables.ScratchRoot}/graft-$prefix")
+      val storeFs = storeRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (storeFs.exists(storeRoot))
+        storeFs.listStatus(storeRoot).map(_.getPath)
+          .filter(p => p.getName.startsWith(s"${corpusName}_") && p.getName != sfKey)
+          .foreach(p => storeFs.delete(p, true))
+      build(storeTbl, s"${OracleTables.ScratchRoot}/graft-$prefix/$sfKey")
+    }
+    storeTbl
+  }
+
   /** SPARK_GRAFT_ONLY=q33,q34 → keep only queries whose name starts with
     * one of the comma-separated prefixes. ONE definition shared by Verify
     * and Bench so the same env var always selects the same set. */
@@ -901,44 +939,13 @@ object SparkEntry {
     "q51_incremental_dedup" -> ((s, dir) => {
       import graft.dedup.Dedup
       val docs = tbl(s, dir, "documents")
-      // key the frozen store by a CONTENT fingerprint of the corpus files
-      // (name/length/mtime), never the dir basename: a basename-keyed
-      // cache silently serves a stale or foreign corpus when fixtures are
-      // regenerated or two base dirs share a leaf name (q39's cache keys
-      // by generator version + params under the same discipline)
-      val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
-      val docsFs = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val corpusName = new java.io.File(dir).getName.replace('.', '_')
-      val contentKey = java.security.MessageDigest.getInstance("MD5")
-        .digest(docsFs.listStatus(docsPath)
-          .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .sorted.mkString("|").getBytes("UTF-8"))
-        .take(6).map("%02x".format(_)).mkString
-      // <corpus>_<contenthash>: the basename prefix scopes cleanup —
-      // same-corpus keys with a DIFFERENT content hash are definitionally
-      // superseded (regenerated fixtures) and dropped below, while stores
-      // for other corpora (other scale factors) coexist untouched
-      val sfKey = s"${corpusName}_$contentKey"
-      val storeTbl = s"graft_fpstore_$sfKey"
-      if (!s.catalog.tableExists(storeTbl)) {
-        import s.implicits._
-        s.catalog.listTables().map(_.name).collect()
-          .filter(t => t.startsWith(s"graft_fpstore_${corpusName}_") && t != storeTbl)
-          .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
-        val storeRoot = new org.apache.hadoop.fs.Path(
-          s"${OracleTables.ScratchRoot}/graft-fpstore")
-        val storeFs = storeRoot.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (storeFs.exists(storeRoot))
-          storeFs.listStatus(storeRoot).map(_.getPath)
-            .filter(p => p.getName.startsWith(s"${corpusName}_") && p.getName != sfKey)
-            .foreach(p => storeFs.delete(p, true))
+      val storeTbl = cachedCorpusStore(s, dir, "fpstore") { (tblName, path) =>
         graft.io.IcebergEmulation.writeBucketed(
           Dedup.fingerprintStore(docs, "doc_id", "text"),
           TableSpec("fp_store", Seq(
             ColumnSpec("fingerprint", StringType),
             ColumnSpec("keeper_id", LongType)), keyCols = Seq("fingerprint")),
-          storeTbl, buckets = 16,
-          path = Some(s"${OracleTables.ScratchRoot}/graft-fpstore/$sfKey"))
+          tblName, buckets = 16, path = Some(path))
       }
       val store = s.table(storeTbl)
       val batch = docs
@@ -1101,6 +1108,61 @@ object SparkEntry {
           .otherwise(lit(""))))
       graft.dedup.Dedup.lineDedupReport(
         planted.select("doc_id", "text"), "doc_id", "text")
+    }),
+
+    // Incremental NEAR-dup (round 7) — q51's append-batch ingest shape
+    // lifted to the MinHash+LSH family: a frozen corpus is represented
+    // only by its banded-signature store (bucketed by bandhash) and
+    // shingle-set store (bucketed by id); the batch band-joins for
+    // candidates and exact-Jaccard-verifies against the shingle store —
+    // corpus TEXT is never re-read (PlanShapeSpec pins one documents
+    // scan). Batch plants all three statuses: verbatim copies of docs
+    // 100-119 (+5e8, J=1 with their source), one-token-appended
+    // near-copies of docs 120-139 (+5.1e8, J = m/(m+1) ≥ 0.8 for any doc
+    // with ≥ 4 distinct trigrams), and six fresh docs — a verbatim pair,
+    // a near-copy pair, two singletons (new → near_dup_in_batch → new).
+    // The oracle replays exact Jaccard over (corpus ∪ batch); LSH capture
+    // at these similarities is the q14 margin argument (per-pair miss
+    // probability ≤ ~1e-7, deterministic once green).
+    "q58_incremental_neardup" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val mhTbl = cachedCorpusStore(s, dir, "mhstore") { (tblName, path) =>
+        graft.io.IcebergEmulation.writeBucketed(
+          Dedup.minhashStore(docs, "doc_id", "text"),
+          TableSpec("mh_store", Seq(
+            ColumnSpec("doc_id", LongType),
+            ColumnSpec("band", IntegerType),
+            ColumnSpec("bandhash", LongType)), keyCols = Seq("bandhash")),
+          tblName, buckets = 16, path = Some(path))
+      }
+      val shTbl = cachedCorpusStore(s, dir, "shstore") { (tblName, path) =>
+        graft.io.IcebergEmulation.writeBucketed(
+          Dedup.shingleStore(docs, "doc_id", "text"),
+          TableSpec("sh_store", Seq(
+            ColumnSpec("doc_id", LongType),
+            ColumnSpec("shingles", ArrayType(StringType))),
+            keyCols = Seq("doc_id")),
+          tblName, buckets = 16, path = Some(path))
+      }
+      val freshA = "quantal vortex pelican drift mauve cordial zephyr lattice bronze orchid velvet marble sundial cricket harbor glade"
+      val freshB = "tundra ember quartz falcon meridian cobalt saffron juniper mosaic tidal prism heron lilac granite meadow cinder plume ravine sonnet birch"
+      val batch = docs
+        .where(col("doc_id") >= 100 && col("doc_id") < 120)
+        .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+        .unionByName(docs
+          .where(col("doc_id") >= 120 && col("doc_id") < 140)
+          .select((col("doc_id") + 510000000L).as("doc_id"),
+            concat(col("text"), lit(" graftnoveltoken")).as("text")))
+        .unionByName(Seq(
+          (600000000L, freshA), (600000001L, freshA),
+          (600000002L, freshB), (600000003L, freshB + " extratok"),
+          (600000004L, "solitary gossamer twilight anvil nectar sphinx"),
+          (600000005L, "cascade obsidian whisper fathom lyric dune"))
+          .toDF("doc_id", "text"))
+      Dedup.incrementalMinhash(batch, "doc_id", "text",
+        s.table(mhTbl), s.table(shTbl))
     }),
   )
 
@@ -2144,6 +2206,72 @@ object SparkEntry {
          |SELECT doc_id, line_count, lines_removed,
          |  lines_removed = line_count AS emptied
          |FROM d WHERE lines_removed > 0""".stripMargin,
+
+    // identical batch plants, exact shingle Jaccard over (corpus ∪ batch),
+    // same classification precedence (corpus match outranks batch match,
+    // keeper = smallest matching id via the rn=1 window — Spark's
+    // min(struct) equivalent because each (batch, candidate) pair is
+    // unique); the Spark side must find the same pairs through the
+    // banded-store join (q14's LSH-capture margin argument)
+    "q58_incremental_neardup" ->
+      """WITH batch AS (
+        | SELECT CAST(doc_id + 500000000 AS BIGINT) AS doc_id, text
+        | FROM documents WHERE doc_id >= 100 AND doc_id < 120
+        | UNION ALL
+        | SELECT CAST(doc_id + 510000000 AS BIGINT), text || ' graftnoveltoken'
+        | FROM documents WHERE doc_id >= 120 AND doc_id < 140
+        | UNION ALL
+        | SELECT CAST(id AS BIGINT), t FROM (VALUES
+        |  (600000000, 'quantal vortex pelican drift mauve cordial zephyr lattice bronze orchid velvet marble sundial cricket harbor glade'),
+        |  (600000001, 'quantal vortex pelican drift mauve cordial zephyr lattice bronze orchid velvet marble sundial cricket harbor glade'),
+        |  (600000002, 'tundra ember quartz falcon meridian cobalt saffron juniper mosaic tidal prism heron lilac granite meadow cinder plume ravine sonnet birch'),
+        |  (600000003, 'tundra ember quartz falcon meridian cobalt saffron juniper mosaic tidal prism heron lilac granite meadow cinder plume ravine sonnet birch extratok'),
+        |  (600000004, 'solitary gossamer twilight anvil nectar sphinx'),
+        |  (600000005, 'cascade obsidian whisper fathom lyric dune')) AS v(id, t)
+        |), bs AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |   THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        | FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM batch)
+        |), cs AS (
+        | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+        |   THEN [array_to_string(toks, ' ')]
+        |   ELSE list_transform(generate_series(1, len(toks) - 2),
+        |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+        | FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM documents)
+        |), cj AS (
+        | SELECT b.doc_id, c.doc_id AS keeper,
+        |   CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(b.sh, c.sh))) AS j
+        | FROM bs b JOIN cs c
+        |   ON CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.8
+        |), cbest AS (
+        | SELECT doc_id, keeper, j FROM (
+        |   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY keeper) AS rn
+        |   FROM cj) WHERE rn = 1
+        |), bj AS (
+        | SELECT hi.doc_id, lo.doc_id AS keeper,
+        |   CAST(len(list_intersect(lo.sh, hi.sh)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(lo.sh, hi.sh))) AS j
+        | FROM bs lo JOIN bs hi ON lo.doc_id < hi.doc_id
+        |  AND CAST(len(list_intersect(lo.sh, hi.sh)) AS DOUBLE)
+        |     / len(list_distinct(list_concat(lo.sh, hi.sh))) >= 0.8
+        |), bbest AS (
+        | SELECT doc_id, keeper, j FROM (
+        |   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY keeper) AS rn
+        |   FROM bj) WHERE rn = 1
+        |)
+        |SELECT b.doc_id,
+        | CASE WHEN cb.keeper IS NOT NULL THEN 'near_dup_of_corpus'
+        |      WHEN bb.keeper IS NOT NULL THEN 'near_dup_in_batch'
+        |      ELSE 'new' END AS status,
+        | COALESCE(cb.keeper, bb.keeper) AS dup_of,
+        | ROUND(CASE WHEN cb.keeper IS NOT NULL THEN cb.j ELSE bb.j END, 6) AS jaccard
+        |FROM batch b
+        |LEFT JOIN cbest cb ON b.doc_id = cb.doc_id
+        |LEFT JOIN bbest bb ON b.doc_id = bb.doc_id""".stripMargin,
     )
   }
 }

@@ -591,6 +591,99 @@ object Dedup {
           .as("dup_of"))
   }
 
+  /** Frozen-corpus NEAR-dup banded-signature store — the LSH counterpart
+    * of [[fingerprintStore]]: the exploded `(id, band, bandhash)` frame a
+    * future ingest batch band-joins against ([[incrementalMinhash]]).
+    * Build ONCE from corpus text and persist BUCKETED by `bandhash`, so
+    * the per-batch candidate join reads store buckets in place — only the
+    * (small) batch side shuffles. Size: `bands` longs + an id per corpus
+    * doc, a tiny fraction of corpus bytes. */
+  def minhashStore(corpus: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
+    minhashBanded(corpus, idCol, textCol, shingleLen, numHashes, bands)
+      .select(col("_id").as(idCol), col("_band").as("band"),
+        col("_bandhash").as("bandhash"))
+
+  /** Frozen-corpus shingle-set store: `(id, shingles)` — the verify-side
+    * state for [[incrementalMinhash]]'s exact-Jaccard confirmation, so
+    * candidate verification never re-reads corpus TEXT either (the
+    * standard signature-cache trade: shingle sets are comparable to text
+    * in size but are the derived artifact an LSH ingest pipeline keeps,
+    * bucketed by id so the verify join reads store buckets in place). */
+  def shingleStore(corpus: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame =
+    corpus.select(col(idCol),
+      shingleSet(col(textCol), shingleLen).as("shingles"))
+
+  /** Incremental (append-batch) NEAR-dup classification — [[incrementalExact]]
+    * lifted to the MinHash+LSH family: classify a NEW batch against an
+    * EXISTING corpus represented only by its [[minhashStore]] +
+    * [[shingleStore]], handling batch-internal near-dups in the same pass.
+    * One row per batch row: `(idCol, status, dup_of, jaccard)` with
+    * status ∈ {'near_dup_of_corpus', 'near_dup_in_batch', 'new'}:
+    *  - `near_dup_of_corpus`: some corpus doc has exact-verified Jaccard
+    *    ≥ `threshold` (the corpus copy outranks any batch claim, as in
+    *    exact incremental); `dup_of` = the SMALLEST matching corpus id,
+    *    `jaccard` = that pair's similarity.
+    *  - `near_dup_in_batch`: no corpus match, but a SMALLER batch id
+    *    matches at ≥ threshold — pairwise-greedy semantics (near-dup is
+    *    not transitive; feed [[minhashNearDups]] pairs through
+    *    [[connectedComponents]] when cluster-level removal is wanted);
+    *    `dup_of` = the smallest such batch id.
+    *  - `new`: no match either side; `dup_of`/`jaccard` NULL. Exactly the
+    *    'new' rows get their signatures + shingles appended to the stores.
+    *
+    * Scale shape: corpus TEXT is never read — both corpus-side inputs are
+    * the stores. Candidate generation is the banded join (skew-capped on
+    * the batch side; build the store with [[minhashStore]] and the same
+    * cap discipline), verification joins ids-only candidates to the two
+    * shingle sources, and the final classification is two left joins on
+    * the batch id. With the stores bucketed by their keys only the batch
+    * ever shuffles. */
+  def incrementalMinhash(batch: DataFrame, idCol: String, textCol: String,
+      bandedStore: DataFrame, shStore: DataFrame, threshold: Double = 0.8,
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val batchBanded = capBuckets(
+      minhashBanded(batch, idCol, textCol, shingleLen, numHashes, bands),
+      Seq("_band", "_bandhash"), maxBucketSize)
+    val corpusCands = batchBanded
+      .join(bandedStore.select(col(idCol).as("_cid"),
+        col("band").as("_band"), col("bandhash").as("_bandhash")),
+        Seq("_band", "_bandhash"))
+      .select(col("_id"), col("_cid")).distinct()
+    val batchSh = ensureParallelism(batch)
+      .select(col(idCol).as("_id"), shingleSet(col(textCol), shingleLen).as("_sh"))
+    val corpusBest = corpusCands
+      .join(batchSh, Seq("_id"))
+      .join(shStore.select(col(idCol).as("_cid"), col("shingles").as("_csh")),
+        Seq("_cid"))
+      .withColumn("_j", jaccard(col("_sh"), col("_csh")))
+      .where(col("_j") >= threshold)
+      .groupBy(col("_id"))
+      .agg(min(struct(col("_cid"), col("_j"))).as("_best"))
+      .select(col("_id").as(idCol), col("_best._cid").as("_corpus_keeper"),
+        col("_best._j").as("_cj"))
+    val batchBest = minhashNearDups(batch, idCol, textCol, threshold,
+        shingleLen, numHashes, bands, maxBucketSize)
+      .groupBy(col("id_b"))
+      .agg(min(struct(col("id_a"), col("jaccard"))).as("_best"))
+      .select(col("id_b").as(idCol), col("_best.id_a").as("_batch_keeper"),
+        col("_best.jaccard").as("_bj"))
+    batch.select(col(idCol))
+      .join(corpusBest, Seq(idCol), "left_outer")
+      .join(batchBest, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        when(col("_corpus_keeper").isNotNull, "near_dup_of_corpus")
+          .when(col("_batch_keeper").isNotNull, "near_dup_in_batch")
+          .otherwise("new").as("status"),
+        when(col("_corpus_keeper").isNotNull, col("_corpus_keeper"))
+          .when(col("_batch_keeper").isNotNull, col("_batch_keeper"))
+          .as("dup_of"),
+        round(when(col("_corpus_keeper").isNotNull, col("_cj"))
+          .otherwise(col("_bj")), 6).as("jaccard"))
+  }
+
   // -------------------------------------------------------------- cascade
 
   /** Sequential dedup CASCADE — the composition a real training-data

@@ -480,6 +480,63 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Seq(9L), s"doc 9 loses 'shared' to (2, 0) — got $got")
   }
 
+  test("incrementalMinhash classifies an append batch against frozen stores") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet umber sable teal"))
+      .toDF("doc_id", "text")
+    val banded = Dedup.minhashStore(corpus, "doc_id", "text")
+    val shSt = Dedup.shingleStore(corpus, "doc_id", "text")
+    val batch = Seq(
+      // verbatim corpus copy → near_dup_of_corpus, J = 1
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // one appended token → J = 8/9 vs doc 2
+      (11L, "one two three four five six seven eight nine ten extra"),
+      // fresh pair: first occurrence new, repeat dups against it
+      (12L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      (13L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"),
+      // fresh singleton
+      (14L, "completely different words entirely here nothing shared at all"),
+      // matches corpus doc 1 AND batch doc 10 — the corpus copy outranks
+      // the batch claim (same precedence as incrementalExact)
+      (15L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(batch, "doc_id", "text", banded, shSt)
+      .collect().map { r =>
+        val dupOf = if (r.isNullAt(r.fieldIndex("dup_of"))) None
+          else Some(r.getAs[Long]("dup_of"))
+        val j = if (r.isNullAt(r.fieldIndex("jaccard"))) None
+          else Some(r.getAs[Double]("jaccard"))
+        r.getAs[Long]("doc_id") -> ((r.getAs[String]("status"), dupOf, j))
+      }.toMap
+    assert(out === Map(
+      10L -> (("near_dup_of_corpus", Some(1L), Some(1.0))),
+      11L -> (("near_dup_of_corpus", Some(2L), Some(0.888889))),
+      12L -> (("new", None, None)),
+      13L -> (("near_dup_in_batch", Some(12L), Some(1.0))),
+      14L -> (("new", None, None)),
+      15L -> (("near_dup_of_corpus", Some(1L), Some(1.0)))), out.toString)
+  }
+
+  test("incrementalMinhash below-threshold candidates stay new") {
+    // docs sharing SOME shingles (band collisions possible) but under the
+    // 0.8 exact-Jaccard line must classify as new — the verify stage is
+    // load-bearing, candidates alone are not matches
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon unrelated words follow here now"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhash(batch, "doc_id", "text",
+        Dedup.minhashStore(corpus, "doc_id", "text"),
+        Dedup.shingleStore(corpus, "doc_id", "text"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("status") === "new", out.head.toString)
+  }
+
   test("line dedup: the first-occurrence rule is an aggregate, not a window") {
     // the physical plan must contain a partial (map-side) aggregate on the
     // line key and NO window operator — the skew-safety property the

@@ -238,6 +238,36 @@ class PlanShapeSpec extends AnyFunSuite {
       s"text entered an incremental-dedup exchange: $shuffles")
   }
 
+  test("incremental near-dup: corpus text never read, only batch + stores feed the plan") {
+    // the q58 ingest shape: the frozen corpus exists ONLY as its banded
+    // signature store + shingle store; with the batch coming from its own
+    // source, the classification plan must not touch the corpus parquet
+    // at all, and no `text` column may enter any exchange (the batch's
+    // shingle sets — the verify payload — may, text itself never)
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    val base = Files.createTempDirectory("graft-mhstore-pin").toString
+    Dedup.minhashStore(docs, "doc_id", "text").write.parquet(s"$base/mh")
+    Dedup.shingleStore(docs, "doc_id", "text").write.parquet(s"$base/sh")
+    // write the batch at full parallelism: a real ingest batch arrives in
+    // many partitions, so the small-input rebalance guard (which would
+    // round-robin (doc_id, text) on a single-file toy input) stays a no-op
+    docs.where(col("doc_id") < 30)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.parquet(s"$base/batch")
+    def classified = Dedup.incrementalMinhash(
+      spark.read.parquet(s"$base/batch"), "doc_id", "text",
+      spark.read.parquet(s"$base/mh"), spark.read.parquet(s"$base/sh"))
+    val plan = planString(classified)
+    assert(!plan.contains("documents.parquet"),
+      "corpus parquet entered the incremental near-dup plan:\n" +
+        plan.linesIterator.filter(_.contains("parquet")).mkString("\n"))
+    val shuffles = shuffleOutputs(classified)
+    assert(!shuffles.exists(_.contains("text")),
+      s"text entered an incremental near-dup exchange: $shuffles")
+  }
+
   test("checkpoint resume runs a constant number of jobs (batched, not per-partition)") {
     val sc = spark.sparkContext
     val tmp = Files.createTempDirectory("graft-ckpt-jobs").toString
