@@ -1164,6 +1164,38 @@ object SparkEntry {
       Dedup.incrementalMinhash(batch, "doc_id", "text",
         s.table(mhTbl), s.table(shTbl))
     }),
+
+    // Silence-endpoint trim census (round 7) — the VAD-lite repair scan:
+    // how much leading/trailing digital silence each clip carries, banded
+    // into the trim decision (keep / trim_lead / trim_trail / trim_both /
+    // all_silence / undecodable). Verdicts are margin-backed bands, not
+    // bistable ms estimates (AudioTrimSweep, 880 feasible shapes/class):
+    // organic endpoint runs are ≤ 1 sample (40× under the 5 ms line);
+    // zeroed-back-half pcm decodes a contiguous 2.5× trailing run, zeroed
+    // ADPCM 1.75-2.34× (reset predictors hold the zeroed half at 0),
+    // zeroed G.711 decodes LOUD (rail / DC constant → keep), zeroed flac
+    // fails decode. Plants: id%5000==37 pads the tone with 15 ms lead +
+    // 20 ms trail silence (trim_both, 3.0×/4.0×); id%5000==41 is a dead
+    // channel (all_silence). The oracle predicts every (codec, verdict)
+    // count by id arithmetic; Spark EARNS it by decoding five formats and
+    // measuring the runs against the DECODED sample rate (a lying sr_hz
+    // column cannot move the 5 ms threshold — pinned by AudioTrimSpec).
+    "q59_trim_census" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val clips = OracleTables.clips(s, n)
+      val id = expr("CAST(substring(clip_id, 6, 12) AS BIGINT)")
+      val padU = udf((i: Long) => graft.io.ClipsGenerator.paddedBytes(i, 25, 15, 20))
+      val silU = udf((i: Long) => graft.io.ClipsGenerator.silentBytes(i, 25))
+      val planted = clips
+        .withColumn("bytes",
+          when(id % 5000 === 37, padU(id))
+            .when(id % 5000 === 41, silU(id))
+            .otherwise(col("bytes")))
+        .withColumn("codec",
+          when(id % 5000 === 37 || id % 5000 === 41, lit("pcm_s16le"))
+            .otherwise(col("codec")))
+      graft.audio.AudioTrim.census(planted)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2272,6 +2304,31 @@ object SparkEntry {
         |FROM batch b
         |LEFT JOIN cbest cb ON b.doc_id = cb.doc_id
         |LEFT JOIN bbest bb ON b.doc_id = bb.doc_id""".stripMargin,
+
+    // every verdict is a pure function of (id arithmetic, codec) —
+    // measured over the full feasible parameter space by AudioTrimSweep
+    // (trimming classes ≥ 1.75× the 5 ms line, keep classes ≥ 40× under);
+    // the Spark side earns these rows by decoding five formats and
+    // measuring the endpoint runs
+    "q59_trim_census" ->
+      s"""WITH c AS (
+         | SELECT CASE WHEN CAST(substr(clip_id, 6) AS BIGINT) % 5000
+         |     IN (37, 41) THEN 'pcm_s16le' ELSE codec END AS codec,
+         |   CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m,
+         |   codec AS codec0
+         | FROM $clips
+         |)
+         |SELECT codec,
+         |  CASE WHEN m = 37 THEN 'trim_both'
+         |       WHEN m = 41 THEN 'all_silence'
+         |       WHEN m = 17 THEN
+         |         CASE codec0 WHEN 'flac' THEN 'undecodable'
+         |              WHEN 'pcm_s16le' THEN 'trim_trail'
+         |              WHEN 'adpcm_ima' THEN 'trim_trail'
+         |              ELSE 'keep' END
+         |       ELSE 'keep' END AS verdict,
+         |  COUNT(*) AS clips
+         |FROM c GROUP BY codec, verdict""".stripMargin,
     )
   }
 }

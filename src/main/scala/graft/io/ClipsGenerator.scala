@@ -140,6 +140,32 @@ object ClipsGenerator {
     WavCodec.wrapPcm16(sr, out)
   }
 
+  /** Planted PADDED variant of clip i (q59 trim census): `leadMs` of
+    * digital silence, the clean tone, `trailMs` of silence — the
+    * un-endpointed recording a VAD-lite trim pass repairs. PCM container;
+    * pad lengths are ≥ 2.5× the 5 ms trim threshold at every sample
+    * rate. */
+  def paddedBytes(i: Long, maxSynthMs: Int, leadMs: Int,
+      trailMs: Int): Array[Byte] = {
+    val sr = srHz(i)
+    val body = WavCodec.synthSineSamples(
+      freqHz(i), math.min(durMs(i), maxSynthMs), srHz(i))
+    val lead = (sr.toLong * leadMs / 1000).toInt
+    val trail = (sr.toLong * trailMs / 1000).toInt
+    val out = new Array[Short](lead + body.length + trail)
+    System.arraycopy(body, 0, out, lead, body.length)
+    WavCodec.wrapPcm16(sr, out)
+  }
+
+  /** Planted ALL-SILENCE variant of clip i (q59): the same duration shape,
+    * every sample zero — a dead channel. */
+  def silentBytes(i: Long, maxSynthMs: Int): Array[Byte] = {
+    val sr = srHz(i)
+    val ms = math.min(durMs(i), maxSynthMs)
+    WavCodec.wrapPcm16(sr, new Array[Short](math.max(0,
+      (sr.toLong * ms / 1000).toInt)))
+  }
+
   /** Build one clean clip. */
   def clip(i: Long, maxSynthMs: Int = 50): Clip =
     Clip(clipId(i), payloadBytes(i, maxSynthMs), srHz(i), durMs(i),
