@@ -1196,6 +1196,30 @@ object SparkEntry {
             .otherwise(col("codec")))
       graft.audio.AudioTrim.census(planted)
     }),
+
+    // Leakage-safe train/val/test splits (round 7) — the composition
+    // closing q48 × q50: row-level splitting leaks eval data through
+    // near-copies (a doc in train, its 0.9-Jaccard twin in test), so the
+    // split key must be the near-dup CLUSTER, not the row. Pipeline:
+    // minhash pairs (default skew cap) → connected components → each doc
+    // keyed by its component label (own id for singletons) → the q48 md5
+    // band arithmetic on the GROUP key. Cohesion is structural — one key,
+    // one label — and singletons keep the exact label plain assignSplits
+    // gives them (adding the guard never reshuffles unclustered history;
+    // pinned by SamplingSpec). The oracle replays the q50 recursive-CTE
+    // closure + the q48 hex arithmetic on the coalesced key.
+    "q60_leakage_safe_splits" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      import graft.sample.Sampling
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.8, shingleLen = 3).select("id_a", "id_b")
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"))
+      Sampling.assignGroupedSplits(docs.select("doc_id"), "doc_id",
+        comps, "component",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2329,6 +2353,47 @@ object SparkEntry {
          |       ELSE 'keep' END AS verdict,
          |  COUNT(*) AS clips
          |FROM c GROUP BY codec, verdict""".stripMargin,
+
+    // q50's recursive-CTE closure feeds q48's md5 band arithmetic, keyed
+    // by COALESCE(component, own id) — the leakage-safe group key
+    "q60_leakage_safe_splits" ->
+      s"""WITH RECURSIVE t AS (
+         | SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 3
+         |   THEN [array_to_string(toks, ' ')]
+         |   ELSE list_transform(generate_series(1, len(toks) - 2),
+         |          i -> array_to_string(toks[i:i+2], ' ')) END) AS sh
+         | FROM t
+         |), pairs AS (
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM s a JOIN s b ON a.doc_id < b.doc_id
+         | WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |     / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.8
+         |), edges AS (
+         | SELECT id_a AS src, id_b AS dst FROM pairs
+         | UNION
+         | SELECT id_b AS src, id_a AS dst FROM pairs
+         |), nodes AS (
+         | SELECT DISTINCT src AS node FROM edges
+         |), reach(node, r) AS (
+         | SELECT node, node FROM nodes
+         | UNION
+         | SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+         |), comp AS (
+         | SELECT node AS doc_id, MIN(r) AS component_id FROM reach GROUP BY node
+         |), k AS (
+         | SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS key
+         | FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.75 THEN 'train'
+         |       WHEN u < 0.875 THEN 'val'
+         |       WHEN u < 1.0 THEN 'test' END AS split
+         |FROM (SELECT doc_id,
+         |   CAST(CONCAT('0x', substr(md5(CAST(key AS VARCHAR) || ':split'),
+         |     1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
+         | FROM k)""".stripMargin,
     )
   }
 }

@@ -84,4 +84,32 @@ object Sampling {
     // FIRST band whose upper edge exceeds u wins, matching a SQL CASE chain
     df.withColumn(splitCol, labeled)
   }
+
+  /** LEAKAGE-SAFE split assignment: rows whose ids share a GROUP (a
+    * near-dup cluster from [[graft.dedup.Dedup.connectedComponents]], a
+    * source-document family, any equivalence class) must land in the SAME
+    * split — otherwise the eval set leaks training data through
+    * near-copies, the standard contamination failure row-level splitting
+    * cannot see. Each row's split is decided by the uniform of its GROUP
+    * KEY — the group label where one exists, the row's own id for
+    * singletons — so group cohesion is STRUCTURAL (one key, one label,
+    * decided by arithmetic), not checked after the fact. `groups` is an
+    * `(idCol, groupCol)` frame with at most one row per id (components
+    * output qualifies: one label per node).
+    *
+    * Scale shape: one left join of the corpus against the grouped subset
+    * (tiny — only docs that belong to some cluster; broadcast when it
+    * fits), then the identical scan-only band arithmetic as
+    * [[assignSplits]]. The salt is the same "split" purpose string, so a
+    * singleton doc keeps the exact label plain [[assignSplits]] would give
+    * it — adding the leakage guard never reshuffles unclustered history. */
+  def assignGroupedSplits(df: DataFrame, idCol: String, groups: DataFrame,
+      groupCol: String, splits: Seq[(String, Double)],
+      splitCol: String = "split"): DataFrame = {
+    val g = groups.select(col(idCol), col(groupCol).as("_grp"))
+    val keyed = df.join(g, Seq(idCol), "left_outer")
+      .withColumn("_split_key", coalesce(col("_grp"), col(idCol)))
+    assignSplits(keyed, "_split_key", splits, splitCol)
+      .drop("_grp", "_split_key")
+  }
 }

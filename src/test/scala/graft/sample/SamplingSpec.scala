@@ -90,4 +90,31 @@ class SamplingSpec extends AnyFunSuite {
       Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
     assert(s.groupBy("split").count().count() === 3L)
   }
+
+  test("assignGroupedSplits: clusters are cohesive, singletons keep plain labels") {
+    val docs = spark.range(200).select(col("id").as("doc_id"))
+    // two clusters: {3, 50, 99} labeled 3 and {10, 20} labeled 10
+    val groups = Seq((3L, 3L), (50L, 3L), (99L, 3L), (10L, 10L), (20L, 10L))
+      .toDF("doc_id", "grp")
+    val splits = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
+    val got = Sampling.assignGroupedSplits(docs, "doc_id", groups, "grp", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // cohesion: every cluster member carries its LABEL doc's split
+    assert(got(50L) === got(3L) && got(99L) === got(3L), got.toString)
+    assert(got(20L) === got(10L), got.toString)
+    // singletons (and cluster labels themselves) = plain assignSplits
+    val plain = Sampling.assignSplits(docs, "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val expected = if (Set(50L, 99L)(id)) plain(3L)
+        else if (id == 20L) plain(10L) else plain(id)
+      assert(got(id) === expected, s"doc $id: got ${got(id)}, want $expected")
+    }
+    // the leakage property directly: no group spans two splits
+    val spans = Sampling.assignGroupedSplits(docs, "doc_id", groups, "grp", splits)
+      .join(groups, Seq("doc_id"))
+      .groupBy("grp").agg(countDistinct(col("split")).as("n"))
+      .where(col("n") > 1).count()
+    assert(spans === 0L)
+  }
 }
