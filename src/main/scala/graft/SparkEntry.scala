@@ -1220,6 +1220,29 @@ object SparkEntry {
         comps, "component",
         Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
     }),
+
+    // Streaming quality census (round 7) — q56's reference-free band
+    // census at INGEST time: per event-time window × codec, counts per
+    // quality band, decoded and banded by the EXACT batch operators
+    // (shared statsUdf/bandCol definitions — the two paths cannot drift).
+    // No plants needed: the stream carries the generator's injections,
+    // whose reference-free signatures are the measured q56 classes
+    // (zeroed pcm → half_silent, flac → undecodable, µ-law → clipped,
+    // A-law → dc_bias, ADPCM → half_silent; everything else nominal).
+    // Single AvailableNow batch + Complete mode = deterministic emission
+    // = the batch SQL the oracle runs (the q35-q37/q43 discipline).
+    "q61_streaming_quality" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val stream = clipsStream(s, n)
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val cen = graft.streaming.StreamingCensus.quality(
+        stream, "ts", windowDuration = "1 hour",
+        watermarkDelay = "10 minutes")
+      runAvailableNow(cen, "q61", "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("codec"), col("band"), col("clips"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2394,6 +2417,21 @@ object SparkEntry {
          |   CAST(CONCAT('0x', substr(md5(CAST(key AS VARCHAR) || ':split'),
          |     1, 15)) AS BIGINT) / 1152921504606846976.0 AS u
          | FROM k)""".stripMargin,
+
+    // the q56 corrupt-class signatures (measured, QualityBandSweep) under
+    // the constant event hour — no plants, the stream's own injections
+    "q61_streaming_quality" ->
+      s"""SELECT '2024-01-01 00:00:00' AS hr, codec,
+         |  CASE WHEN m = 17 THEN
+         |    CASE codec WHEN 'flac' THEN 'undecodable'
+         |         WHEN 'pcm_mulaw' THEN 'clipped'
+         |         WHEN 'pcm_alaw' THEN 'dc_bias'
+         |         ELSE 'half_silent' END
+         |  ELSE 'nominal' END AS band,
+         |  COUNT(*) AS clips
+         |FROM (SELECT codec, CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
+         |      FROM $clips)
+         |GROUP BY codec, band""".stripMargin,
     )
   }
 }

@@ -115,6 +115,18 @@ object QualityCensus {
       } catch { case _: Exception => (false, -120.0, 0.0, 0.0, 0.0) }
     }
 
+  /** Column-form banding of a [[statsUdf]] struct — ONE definition shared
+    * by [[measure]] and [[graft.streaming.StreamingCensus]] so the batch
+    * and streaming when-chains can never diverge (must mirror [[band]]'s
+    * order exactly). */
+  def bandCol(st: Column): Column =
+    when(!st.getField("_1"), "undecodable")
+      .when(st.getField("_3") >= ClipFracThreshold, "clipped")
+      .when(st.getField("_4") >= SilenceFracThreshold, "half_silent")
+      .when(st.getField("_5") >= DcRatioThreshold, "dc_bias")
+      .when(st.getField("_2") < QuietDbfs, "quiet")
+      .otherwise("nominal")
+
   /** Per-row measurement for a sampled subset: (clip_id, codec, rms_dbfs,
     * clip_frac, silence_frac, band). */
   def measure(clips: DataFrame, sampleEvery: Int = 1): DataFrame = {
@@ -129,12 +141,7 @@ object QualityCensus {
         round(col("_st._3"), 4).as("clip_frac"),
         round(col("_st._4"), 4).as("silence_frac"),
         round(col("_st._5"), 4).as("dc_ratio"),
-        when(!col("_st._1"), "undecodable")
-          .when(col("_st._3") >= ClipFracThreshold, "clipped")
-          .when(col("_st._4") >= SilenceFracThreshold, "half_silent")
-          .when(col("_st._5") >= DcRatioThreshold, "dc_bias")
-          .when(col("_st._2") < QuietDbfs, "quiet")
-          .otherwise("nominal").as("band"))
+        bandCol(col("_st")).as("band"))
   }
 
   /** The census rollup: (codec, band, clips) counts — the only exchange. */
