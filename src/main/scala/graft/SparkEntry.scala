@@ -1243,6 +1243,71 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("codec"), col("band"), col("clips"))
     }),
+
+    // Sequence packing (round 7) — the concat-and-chunk layout step
+    // between a curated corpus and a token-budgeted training run: every
+    // doc's exact GLOBAL prefix-sum offset, computed by the two-pass
+    // distributed scan (range-partition the narrow (id, size) projection,
+    // O(partitions) driver prefix of per-partition totals, within-
+    // partition window) instead of the single-task unpartitioned window a
+    // naive sum().over(orderBy) plans. Offsets are partitioning-invariant
+    // (SequencePackingSpec pins 1/7/32-partition equality), so the same
+    // corpus packs identically at any cluster size. The oracle IS the
+    // naive global window — fine in DuckDB at sf0.01, the scale killer
+    // the operator exists to avoid on Spark.
+    "q62_sequence_packing" -> ((s, dir) => {
+      import graft.sample.SequencePacking
+      val docs = tbl(s, dir, "documents")
+      val rep = SequencePacking.packReport(docs, "doc_id", "n_chars",
+        chunkTokens = 4096L)
+      rep.withColumn("crosses_chunk", col("crosses_chunk").cast("long"))
+    }),
+
+    // Deterministic mixture resampling (round 7) — per-source target
+    // rates where r<1 downsamples and r>1 UPSAMPLES (epoch repetition):
+    // copy k of a row survives iff md5-uniform(id:mix:k) < r − k, so the
+    // expected multiplicity is exactly r and membership is a pure
+    // function of (id, k) — same result at any parallelism, bit-replayed
+    // by the oracle. Dyadic rates keep the survival compare exact in
+    // double on both engines. One scan: bounded explode + codegen'd
+    // filter; only (source, count) pairs enter an exchange.
+    "q63_mixture_resample" -> ((s, dir) => {
+      import graft.sample.Mixing
+      val docs = tbl(s, dir, "documents")
+      Mixing.resampleSummary(docs, "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.5, "src3" -> 0.0),
+        defaultRate = 1.0)
+    }),
+
+    // Exact heavy hitters via mergeable Misra–Gries (round 7) — the
+    // vocabulary-census shape where a naive groupBy(token).count()
+    // shuffles EVERY distinct token (web corpora: billions of
+    // singletons). One sketch pass (O(k) state per task, merged
+    // associatively, deducted-mass bound carried through the merge tree)
+    // yields a candidate superset with NO false negatives; one exact pass
+    // counts only candidates, so the singleton tail never enters a
+    // shuffle. Output is EXACT — the oracle is the naive count.
+    "q64_heavy_hitters" -> ((s, dir) => {
+      import graft.sketch.HeavyHitters
+      val docs = tbl(s, dir, "documents")
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      HeavyHitters.overThreshold(toks, "token", threshold = 500L, k = 128)
+    }),
+
+    // Container-metadata consistency census (round 7) — does the PAYLOAD
+    // agree with the catalog? The generator's i%5000==13 injection makes
+    // the sr_hz COLUMN lie (96000) while the bytes keep their true rate:
+    // the range check (q02) flags the row, but only a decode proves which
+    // side is lying. Spark earns each (codec, band) count by decoding the
+    // container header of every row (five formats); zeroed-flac corrupt
+    // rows (m=17) surface as undecodable, every other injection leaves
+    // the container consistent. bytes never enter an exchange — only
+    // (codec, band, count) triples do.
+    "q65_container_census" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val clips = OracleTables.clips(s, n)
+      graft.validate.ContainerCheck.census(clips)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2428,6 +2493,64 @@ object SparkEntry {
          |         WHEN 'pcm_alaw' THEN 'dc_bias'
          |         ELSE 'half_silent' END
          |  ELSE 'nominal' END AS band,
+         |  COUNT(*) AS clips
+         |FROM (SELECT codec, CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
+         |      FROM $clips)
+         |GROUP BY codec, band""".stripMargin,
+
+    // the naive single-window prefix sum the distributed operator
+    // replaces — exact, so the two must agree row-for-row
+    "q62_sequence_packing" ->
+      """WITH o AS (
+        | SELECT doc_id, CAST(COALESCE(n_chars, 0) AS BIGINT) AS n_chars,
+        |   CAST(COALESCE(SUM(CAST(COALESCE(n_chars, 0) AS BIGINT))
+        |     OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |     0) AS BIGINT) AS token_offset
+        | FROM documents
+        |)
+        |SELECT doc_id, n_chars, token_offset,
+        |  token_offset // 4096 AS chunk_first,
+        |  (token_offset + GREATEST(n_chars, 1) - 1) // 4096 AS chunk_last,
+        |  CAST((token_offset + GREATEST(n_chars, 1) - 1) // 4096
+        |    > token_offset // 4096 AS BIGINT) AS crosses_chunk
+        |FROM o""".stripMargin,
+
+    // identical md5-uniform survival arithmetic per (doc, copy) pair;
+    // dyadic rates make u < r − k exact in double on both engines
+    "q63_mixture_resample" ->
+      """WITH e AS (
+        | SELECT source, k.k,
+        |   CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+        |     WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0 ELSE 1.0 END AS r,
+        |   CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        |     || ':mix:' || CAST(k.k AS VARCHAR)), 1, 15)) AS BIGINT)
+        |     / 1152921504606846976.0 AS u
+        | FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+        |)
+        |SELECT source,
+        |  CAST(SUM(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS in_rows,
+        |  CAST(SUM(CASE WHEN u < r - k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS out_rows
+        |FROM e GROUP BY source""".stripMargin,
+
+    // the naive full-vocabulary count — the sketch-then-exact operator
+    // must reproduce it exactly (no false negatives, exact second pass)
+    "q64_heavy_hitters" ->
+      """SELECT t AS token, COUNT(*) AS occurrences
+        |FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+        |GROUP BY t HAVING COUNT(*) >= 500""".stripMargin,
+
+    // every band is a pure function of (id arithmetic, codec): the m=13
+    // sr-column lie decodes fine but mismatches, zeroed-flac corrupt rows
+    // fail decode, everything else (incl. zeroed pcm/G.711/ADPCM and
+    // duplicate-id rows) keeps a consistent container
+    "q65_container_census" ->
+      s"""SELECT codec,
+         |  CASE WHEN m = 17 AND codec = 'flac' THEN 'undecodable'
+         |       WHEN m = 13 THEN 'sr_mismatch'
+         |       ELSE 'ok' END AS band,
          |  COUNT(*) AS clips
          |FROM (SELECT codec, CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
          |      FROM $clips)
