@@ -1308,6 +1308,23 @@ object SparkEntry {
       val clips = OracleTables.clips(s, n)
       graft.validate.ContainerCheck.census(clips)
     }),
+
+    // Resample-then-verify census (round 7) — the rate-unification REPAIR
+    // step with its own verification: every clip is converted to the
+    // 16 kHz model rate (deterministic exact-rational linear resampler)
+    // and the claimed-tone projection re-runs on the CONVERTED signal, so
+    // the census answers "which rows survive rate unification with their
+    // content intact". Bands are measured over the full structural space
+    // (ResampleSweep: clean ≥ 0.9928, corrupt ≤ 0.6928 or decode-fail,
+    // threshold 0.85 at the midpoint); the oracle predicts every
+    // (codec, band) count by id arithmetic, Spark EARNS it by decoding
+    // five formats, resampling, and projecting. Conversion reads the rate
+    // from the container, so the m=13 lying sr_hz column cannot skew it.
+    "q66_resample_census" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val clips = OracleTables.clips(s, n)
+      graft.validate.ResampleCheck.census(clips)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2551,6 +2568,22 @@ object SparkEntry {
          |  CASE WHEN m = 17 AND codec = 'flac' THEN 'undecodable'
          |       WHEN m = 13 THEN 'sr_mismatch'
          |       ELSE 'ok' END AS band,
+         |  COUNT(*) AS clips
+         |FROM (SELECT codec, CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
+         |      FROM $clips)
+         |GROUP BY codec, band""".stripMargin,
+
+    // every band a pure function of id arithmetic + codec under the
+    // ResampleSweep-measured margins: corrupt flac fails decode, corrupt
+    // pcm/G.711/ADPCM land ≤ 0.6928 < 0.85 (degraded), everything else —
+    // incl. duplicate-id rows (1 Hz off, unresolvable) and m=13 rows
+    // (conversion uses the container rate, not the lying column) —
+    // clears 0.9928 ≥ 0.85
+    "q66_resample_census" ->
+      s"""SELECT codec,
+         |  CASE WHEN m = 17 AND codec = 'flac' THEN 'undecodable'
+         |       WHEN m = 17 THEN 'degraded'
+         |       ELSE 'resample_ok' END AS band,
          |  COUNT(*) AS clips
          |FROM (SELECT codec, CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
          |      FROM $clips)
