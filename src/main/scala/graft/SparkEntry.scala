@@ -1325,6 +1325,32 @@ object SparkEntry {
       val clips = OracleTables.clips(s, n)
       graft.validate.ResampleCheck.census(clips)
     }),
+
+    // Embedding-column validation census (round 7) — the vector hygiene
+    // scan before any ANN/near-dup stage trusts Array[Float] payloads: a
+    // single NaN poisons every dot product, wrong dims crash the kernel,
+    // zero vectors make cosine undefined, un-normalized vectors silently
+    // re-weight similarity. Plants by vec_id residue (disjoint, so the
+    // oracle predicts every band by pure id arithmetic): %97=23 NULL,
+    // %97=17 sliced to 32 dims, %97=5 NaN at position 3, %97=11 all-zero,
+    // %97=29 scaled 2× (norm 2 vs the 1e-3 unit tolerance — organic
+    // vectors sit within 2e-7 of unit norm, measured at all three sf).
+    // All native codegen'd HOFs (size/exists/aggregate) — no UDF; only
+    // (band, count) pairs enter an exchange.
+    "q67_embedding_validate" -> ((s, dir) => {
+      import graft.validate.EmbeddingCheck
+      val emb = tbl(s, dir, "embeddings")
+      val m = col("vec_id") % 97
+      val planted = emb.withColumn("embedding",
+        when(m === 23, lit(null))
+          .when(m === 17, slice(col("embedding"), 1, 32))
+          .when(m === 5, transform(col("embedding"),
+            (x, i) => when(i === 3, lit(Float.NaN)).otherwise(x)))
+          .when(m === 11, transform(col("embedding"), _ => lit(0.0f)))
+          .when(m === 29, transform(col("embedding"), x => x * 2.0f))
+          .otherwise(col("embedding")))
+      EmbeddingCheck.census(planted, "embedding", dim = 64)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2588,6 +2614,19 @@ object SparkEntry {
          |FROM (SELECT codec, CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
          |      FROM $clips)
          |GROUP BY codec, band""".stripMargin,
+
+    // disjoint residue plants → every band a pure function of vec_id;
+    // organic rows are measured unit-norm (±2e-7) so they land ok
+    "q67_embedding_validate" ->
+      """SELECT band, COUNT(*) AS vecs FROM (
+        | SELECT CASE WHEN vec_id % 97 = 23 THEN 'null_vector'
+        |   WHEN vec_id % 97 = 17 THEN 'wrong_dim'
+        |   WHEN vec_id % 97 = 5 THEN 'non_finite'
+        |   WHEN vec_id % 97 = 11 THEN 'zero_vector'
+        |   WHEN vec_id % 97 = 29 THEN 'not_unit_norm'
+        |   ELSE 'ok' END AS band
+        | FROM embeddings)
+        |GROUP BY band""".stripMargin,
     )
   }
 }
