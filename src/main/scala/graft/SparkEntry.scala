@@ -1351,6 +1351,23 @@ object SparkEntry {
           .otherwise(col("embedding")))
       EmbeddingCheck.census(planted, "embedding", dim = 64)
     }),
+
+    // Bloom-prefiltered decontamination (round 7) — q47's hygiene check on
+    // the scale path for suites too big to broadcast-join: one suite pass
+    // builds a Bloom filter of its n-grams (broadcastable two orders past
+    // the hash-relation limit), the corpus n-gram stream dies map-side at
+    // the scan, and the exact confirm equi-join sees only true hits plus
+    // the fpp trickle — so the output is IDENTICAL to the exact variant
+    // at any fpp (DedupSpec pins agreement at fpp=0.5) and the oracle is
+    // q47's SQL verbatim. Same plants, same suite.
+    "q68_decontamination_bloom" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.where(col("doc_id") < 500 && col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Dedup.decontaminateBloom(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 5)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2627,6 +2644,30 @@ object SparkEntry {
         |   ELSE 'ok' END AS band
         | FROM embeddings)
         |GROUP BY band""".stripMargin,
+
+    // q47's oracle verbatim: the bloom is only a pre-filter — the exact
+    // confirm join makes the two variants agree row-for-row at any fpp
+    "q68_decontamination_bloom" ->
+      s"""WITH t AS (
+         | SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5
+         |   THEN [array_to_string(toks, ' ')]
+         |   ELSE list_transform(generate_series(1, len(toks) - 4),
+         |          i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+         | FROM t
+         |), cng AS (
+         | SELECT doc_id, unnest(sh) AS ng FROM s
+         |), bng AS (
+         | SELECT DISTINCT bench_id, ng FROM
+         |   (SELECT doc_id AS bench_id, unnest(sh) AS ng FROM s
+         |    WHERE doc_id < 500 AND doc_id % 50 = 7)
+         |)
+         |SELECT c.doc_id,
+         |  COUNT(DISTINCT b.bench_id) AS benchmarks_hit,
+         |  COUNT(DISTINCT c.ng) AS ngrams_hit
+         |FROM cng c JOIN bng b ON c.ng = b.ng
+         |GROUP BY c.doc_id""".stripMargin,
     )
   }
 }

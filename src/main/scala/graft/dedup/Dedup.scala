@@ -418,6 +418,46 @@ object Dedup {
         countDistinct(col("_ng")).as("ngrams_hit"))
   }
 
+  /** [[decontaminate]] for benchmark suites TOO BIG TO BROADCAST-JOIN —
+    * same output, different scale path. The exact variant's broadcast
+    * hash relation is every distinct (bench_id, ngram) pair; at ~100M
+    * suite n-grams that is tens of GB per executor and the hint stops
+    * working, while the alternative (shuffle join) repartitions the
+    * exploded corpus — n× the corpus token volume through an exchange.
+    *
+    * This variant spends one pass over the suite building a Bloom filter
+    * of its n-grams (~1.2 GB at 10⁹ entries / 1% fpp — broadcastable two
+    * orders of magnitude past the hash relation's limit) and kills the
+    * corpus n-gram stream MAP-SIDE at the scan: only the ≤ fpp false-
+    * positive trickle plus true hits survive to the exact confirm join,
+    * whose strategy is left to Catalyst/AQE (the filtered left side is
+    * tiny, so even a shuffle join moves almost nothing — and the suite
+    * side shuffles once instead of being broadcast). False positives
+    * CANNOT reach the output: the confirm join is the same exact equi-join
+    * as [[decontaminate]], so the two variants agree row-for-row at any
+    * fpp — the bloom only decides how much work the join sees. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val bng = benchmark
+      .select(col(benchIdCol).as("_bench_id"),
+        explode(shingleSet(col(benchTextCol), n)).as("_ng"))
+      .distinct()
+    val grams = bng.select("_ng").distinct()
+    val expected = math.max(grams.count(), 1L) // one suite pass, O(suite)
+    val bloom = grams.stat.bloomFilter("_ng", expected, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
+    val cng = ensureParallelism(corpus)
+      .select(col(idCol), explode(shingleSet(col(textCol), n)).as("_ng"))
+      .where(mightContain(col("_ng"))) // map-side kill, no exchange above
+    cng.join(bng, Seq("_ng")) // exact confirm — strategy up to Catalyst
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("_bench_id")).as("benchmarks_hit"),
+        countDistinct(col("_ng")).as("ngrams_hit"))
+  }
+
   // ------------------------------------------------ connected components
 
   /** Connected components over an undirected near-dup PAIR list — the step

@@ -452,6 +452,29 @@ class DedupSpec extends AnyFunSuite {
       "doc_id", "text", bench, "bench_id", "btext", n = 4).count() === 0L)
   }
 
+  test("decontaminateBloom agrees with the exact path at ANY fpp") {
+    val corpus = docs.unionByName(
+      Seq((6L, "tiny prompt here")).toDF("doc_id", "text"))
+    val bench = Seq((100L, base), (101L, "tiny prompt here"))
+      .toDF("bench_id", "btext")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("benchmarks_hit"),
+        r.getAs[Long]("ngrams_hit"))).toSet
+    val exact = key(Dedup.decontaminate(corpus, "doc_id", "text",
+      bench, "bench_id", "btext", n = 4))
+    // fpp 0.5 floods the confirm join with false positives; the exact
+    // equi-join must kill every one of them
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = key(Dedup.decontaminateBloom(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", n = 4, fpp = fpp))
+      assert(bloom === exact, s"fpp=$fpp")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateBloom(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", n = 4, fpp = 1.5)
+    }
+  }
+
   test("line dedup: first (doc, pos) occurrence wins corpus-wide") {
     val docs = Seq(
       (1L, "alpha\nbeta\ngamma"),   // all first occurrences — not reported
