@@ -1368,6 +1368,35 @@ object SparkEntry {
       Dedup.decontaminateBloom(docs, "doc_id", "text",
         bench, "bench_id", "text", n = 5)
     }),
+
+    // Mixture → packing composition (round 7) — the two layout operators
+    // chained the way a training run uses them: resample the corpus to
+    // the target source mixture (q63's rates, every surviving (doc, copy)
+    // an independent unit), then pack the RESAMPLED stream into exact
+    // global token offsets (q62's two-pass scan). The packing key
+    // doc_id·4 + copy (maxCopies = 3 < 4) keeps numeric order = (doc,
+    // copy) order, so offsets are a pure function of the mixture — the
+    // oracle replays membership bit-for-bit (dyadic rates) and runs the
+    // naive global window over the survivors. Upsampled copies pack as
+    // distinct units; dropped sources never reach the offset scan.
+    "q69_mixture_packing" -> ((s, dir) => {
+      import graft.sample.{Mixing, SequencePacking}
+      val docs = tbl(s, dir, "documents")
+      val mixed = Mixing.resample(docs, "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.25, "src2" -> 0.5, "src3" -> 0.0),
+        defaultRate = 1.0)
+        .select((col("doc_id") * 4 + col("copy")).as("pack_id"),
+          col("n_chars"))
+      val rep = SequencePacking.packReport(mixed, "pack_id", "n_chars",
+        chunkTokens = 2048L)
+      rep.select(
+        col("pack_id"),
+        expr("pack_id div 4").as("doc_id"),
+        (col("pack_id") % 4).as("copy"),
+        col("n_chars"), col("token_offset"), col("chunk_first"),
+        col("chunk_last"), col("crosses_chunk").cast("long")
+          .as("crosses_chunk"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2668,6 +2697,35 @@ object SparkEntry {
          |  COUNT(DISTINCT c.ng) AS ngrams_hit
          |FROM cng c JOIN bng b ON c.ng = b.ng
          |GROUP BY c.doc_id""".stripMargin,
+
+    // q63's membership arithmetic feeding q62's naive global window over
+    // the survivors — the composed oracle for the composed operators
+    "q69_mixture_packing" ->
+      """WITH e AS (
+        | SELECT doc_id, n_chars, k.k AS copy,
+        |   CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.25
+        |     WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.0 ELSE 1.0 END AS r,
+        |   CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        |     || ':mix:' || CAST(k.k AS VARCHAR)), 1, 15)) AS BIGINT)
+        |     / 1152921504606846976.0 AS u
+        | FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k
+        |), kept AS (
+        | SELECT doc_id * 4 + copy AS pack_id, doc_id, copy,
+        |   CAST(COALESCE(n_chars, 0) AS BIGINT) AS n_chars
+        | FROM e WHERE u < r - copy
+        |), o AS (
+        | SELECT pack_id, doc_id, copy, n_chars,
+        |   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY pack_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |     AS BIGINT) AS token_offset
+        | FROM kept
+        |)
+        |SELECT pack_id, doc_id, copy, n_chars, token_offset,
+        |  token_offset // 2048 AS chunk_first,
+        |  (token_offset + GREATEST(n_chars, 1) - 1) // 2048 AS chunk_last,
+        |  CAST((token_offset + GREATEST(n_chars, 1) - 1) // 2048
+        |    > token_offset // 2048 AS BIGINT) AS crosses_chunk
+        |FROM o""".stripMargin,
     )
   }
 }

@@ -27,6 +27,40 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** Solve the per-source rates that hit a TOKEN BUDGET at target mixture
+    * proportions — the planning step in front of [[resample]]: given each
+    * source's token count `tokens`, desired proportions `props`
+    * (normalized internally), and total budget `budgetTokens`, source s
+    * must contribute `budget · p_s` tokens, so
+    * `rate_s = budget · p_s / tokens_s`. Exact in expectation because
+    * [[resample]]'s multiplicity is exactly the rate. Rates above
+    * `maxRepetition` (epoch-repetition runaway on a tiny high-weight
+    * source — the standard mixture failure) are CLAMPED and reported, so
+    * the caller decides between accepting the shortfall and re-weighting;
+    * the returned rates are what a run would actually use. Driver-side
+    * pure function of O(sources) inputs (a pipeline gets `tokens` from
+    * one aggregate over the corpus). */
+  def ratesForBudget(tokens: Map[String, Long], props: Map[String, Double],
+      budgetTokens: Long, maxRepetition: Double = 16.0)
+      : (Map[String, Double], Map[String, Double]) = {
+    require(budgetTokens > 0, s"budget must be positive: $budgetTokens")
+    require(maxRepetition > 0, s"maxRepetition must be positive: $maxRepetition")
+    require(props.nonEmpty, "props must be non-empty")
+    val missing = props.keySet -- tokens.keySet
+    require(missing.isEmpty, s"props name unknown sources: $missing")
+    val bad = props.filter(_._2 < 0)
+    require(bad.isEmpty, s"negative proportions: $bad")
+    val total = props.values.sum
+    require(total > 0, "proportions sum to zero")
+    val raw = props.map { case (s, p) =>
+      val t = tokens(s)
+      require(t > 0, s"source $s has no tokens but positive proportion")
+      s -> budgetTokens * (p / total) / t
+    }
+    val clamped = raw.filter(_._2 > maxRepetition)
+    (raw.map { case (s, r) => s -> math.min(r, maxRepetition) }, clamped)
+  }
+
   /** The per-row rate column for a source→rate map with a default. */
   private def rateCol(srcCol: String, rates: Map[String, Double],
       defaultRate: Double): Column =

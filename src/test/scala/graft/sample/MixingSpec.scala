@@ -88,4 +88,38 @@ class MixingSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("ratesForBudget hits the budget at the target proportions") {
+    val tokens = Map("web" -> 800L, "books" -> 100L, "code" -> 100L)
+    val (r, clamped) = Mixing.ratesForBudget(tokens,
+      Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25),
+      budgetTokens = 400L)
+    assert(clamped.isEmpty)
+    // expected contribution = tokens × rate = budget × proportion
+    assert(r("web") * 800 === 200.0)
+    assert(r("books") * 100 === 100.0)
+    assert(r("code") * 100 === 100.0)
+    // proportions are normalized: weights 2/1/1 give the same answer
+    val (r2, _) = Mixing.ratesForBudget(tokens,
+      Map("web" -> 2.0, "books" -> 1.0, "code" -> 1.0), 400L)
+    assert(r2 === r)
+  }
+
+  test("ratesForBudget clamps repetition runaway and reports it") {
+    val (r, clamped) = Mixing.ratesForBudget(
+      Map("tiny" -> 10L, "big" -> 10000L),
+      Map("tiny" -> 0.5, "big" -> 0.5),
+      budgetTokens = 10000L, maxRepetition = 16.0)
+    // tiny would need rate 500 — clamped to 16 and reported
+    assert(r("tiny") === 16.0)
+    assert(clamped.keySet === Set("tiny") && clamped("tiny") === 500.0)
+    assert(r("big") === 0.5)
+    // domain validation
+    intercept[IllegalArgumentException] {
+      Mixing.ratesForBudget(Map("a" -> 1L), Map("b" -> 1.0), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.ratesForBudget(Map("a" -> 1L), Map("a" -> -1.0), 10L)
+    }
+  }
 }
