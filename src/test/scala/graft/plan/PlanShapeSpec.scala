@@ -410,4 +410,58 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(over.length === 1)
     assert(over.head.getAs[Long]("bucket_size") === 30L)
   }
+
+  test("heavy hitters: the candidate filter sits below every exchange") {
+    import spark.implicits._
+    // the whole point of the sketch pass: the singleton tail dies at the
+    // scan (token IN candidates), so no exchange ever carries the full
+    // vocabulary — an IN-free exchange means the exact pass regressed to
+    // the naive full groupBy
+    // localCheckpoint = leaf RDD plan; a LocalRelation would let the
+    // optimizer evaluate the IN-filter at plan time and hide it
+    val toks = (1 to 4000).map(i => s"tok${i % 37}").toDF("token")
+      .repartition(4).localCheckpoint()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.sketch.HeavyHitters
+        .overThreshold(toks, "token", threshold = 50L, k = 64)
+        .queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      assert(exchanges.forall(_.collectFirst {
+        case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("IN") => f
+      }.isDefined), "an exchange without the candidate IN-filter below it")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("bloom decontamination kills corpus n-grams map-side, pre-exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").repartition(8).localCheckpoint()
+    val bench = docs.where(col("doc_id") % 50 === 7)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = Dedup.decontaminateBloom(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 5)
+        .queryExecution.executedPlan
+      // the exploded corpus n-gram stream must pass the bloom UDF filter
+      // BEFORE any exchange — at least one exchange subtree contains
+      // explode + the UDF kill; a plan where the UDF sits above every
+      // exchange shuffles the full n× token volume first
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      val killed = exchanges.exists { e =>
+        val hasGen = e.collectFirst {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }.isDefined
+        val hasUdfFilter = e.collectFirst {
+          case f: org.apache.spark.sql.execution.FilterExec
+              if f.condition.toString.contains("UDF") => f
+        }.isDefined
+        hasGen && hasUdfFilter
+      }
+      assert(killed, "no exchange has explode + bloom-UDF filter below it")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
