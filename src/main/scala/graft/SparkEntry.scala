@@ -1397,6 +1397,39 @@ object SparkEntry {
         col("chunk_last"), col("crosses_chunk").cast("long")
           .as("crosses_chunk"))
     }),
+
+    // Streaming ingest classification vs a frozen corpus store (round 7)
+    // — q51's incremental-dedup shape at STREAM time: every arriving doc
+    // fingerprinted and classified against the corpus (fingerprint,
+    // keeper) store via a stream-static left join (stateless — no state
+    // store involvement; with the store bucketed the static side reads in
+    // place and only the arriving batch moves). The store freezes the
+    // doc_id<250 half, the stream replays the whole table: fingerprints
+    // landing in the frozen half (incl. organic cross-half duplicate
+    // texts — the join is by CONTENT, not id) count dup_of_corpus, the
+    // rest new. Shared fingerprint definition with the batch path; q61's
+    // constant-hour + Complete + AvailableNow determinism discipline.
+    "q70_streaming_ingest" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      import graft.streaming.StreamingIngest
+      val docs = tbl(s, dir, "documents")
+      val store = Dedup.fingerprintStore(
+        docs.where(col("doc_id") < 250), "doc_id", "text")
+      // documents.parquet is a single FILE; the file-stream source needs
+      // a directory, so stream the sf dir gated to just that file
+      val path = s"$dir/documents.parquet"
+      val stream = s.readStream.schema(s.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", "1000000")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val cen = StreamingIngest.classifyCounts(stream, "text", store,
+        "ts", windowDuration = "1 hour", watermarkDelay = "10 minutes")
+      runAvailableNow(cen, "q70", "complete")
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("status"), col("docs"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2726,6 +2759,24 @@ object SparkEntry {
         |  CAST((token_offset + GREATEST(n_chars, 1) - 1) // 2048
         |    > token_offset // 2048 AS BIGINT) AS crosses_chunk
         |FROM o""".stripMargin,
+
+    // the q51 fingerprint recipe by CONTENT against the frozen doc_id<250
+    // half, under the constant event hour; NULL text → NULL fp → new
+    "q70_streaming_ingest" ->
+      """WITH corpus AS (
+        | SELECT DISTINCT
+        |   MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+        | FROM documents WHERE doc_id < 250
+        |), d AS (
+        | SELECT MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+        | FROM documents
+        |)
+        |SELECT '2024-01-01 00:00:00' AS hr,
+        |  CASE WHEN c.fp IS NOT NULL THEN 'dup_of_corpus'
+        |       ELSE 'new' END AS status,
+        |  COUNT(*) AS docs
+        |FROM d LEFT JOIN corpus c ON d.fp = c.fp
+        |GROUP BY status""".stripMargin,
     )
   }
 }
