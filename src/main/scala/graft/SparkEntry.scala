@@ -1430,6 +1430,34 @@ object SparkEntry {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("status"), col("docs"))
     }),
+
+    // Containment decontamination (round 7) — the asymmetric complement
+    // of q47: a long page EMBEDDING a short eval prompt has near-zero
+    // Jaccard but containment ≈ 1 on the benchmark side
+    // (|doc∩bench|/|bench|), and q47's raw overlap counts don't
+    // normalize by benchmark length. Plants: each suite doc re-embedded
+    // inside framing filler (+800000000 — full containment 1.0 despite
+    // the dilution) and a half-prefix doc (+810000000 — partial
+    // containment below the 0.8 threshold, must NOT surface). The ratio
+    // is integer/integer in double on both engines, so the threshold
+    // replays bit-for-bit; output rounds to 6dp (the q58 discipline).
+    "q71_containment_decon" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.where(col("doc_id") < 500 && col("doc_id") % 50 === 7)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val embedded = bench.select(
+        (col("bench_id") + 800000000L).as("doc_id"),
+        concat(lit("framing intro words before the leak "), col("text"),
+          lit(" and framing outro words after it")).as("text"))
+      val partial = bench.select(
+        (col("bench_id") + 810000000L).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("text"))
+      val corpus = docs.unionByName(embedded).unionByName(partial)
+      Dedup.decontaminateContainment(corpus, "doc_id", "text",
+        bench, "bench_id", "text", n = 5, minContainment = 0.8)
+        .withColumn("containment", round(col("containment"), 6))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2777,6 +2805,46 @@ object SparkEntry {
         |  COUNT(*) AS docs
         |FROM d LEFT JOIN corpus c ON d.fp = c.fp
         |GROUP BY status""".stripMargin,
+
+    // the same plants + the q47 5-gram recipe, normalized by benchmark
+    // n-gram count; the ≥ 0.8 filter runs on the raw int/int double
+    "q71_containment_decon" ->
+      s"""WITH corpus0 AS (
+         | SELECT doc_id, text FROM documents
+         | UNION ALL
+         | SELECT doc_id + 800000000,
+         |   'framing intro words before the leak ' || text ||
+         |   ' and framing outro words after it'
+         | FROM documents WHERE doc_id < 500 AND doc_id % 50 = 7
+         | UNION ALL
+         | SELECT doc_id + 810000000,
+         |   array_to_string(str_split(text, ' ')[1:12], ' ')
+         | FROM documents WHERE doc_id < 500 AND doc_id % 50 = 7
+         |), sh AS (
+         | SELECT doc_id, list_distinct(CASE WHEN len(toks) < 5
+         |   THEN [array_to_string(toks, ' ')]
+         |   ELSE list_transform(generate_series(1, len(toks) - 4),
+         |          i -> array_to_string(toks[i:i+4], ' ')) END) AS sh
+         | FROM (SELECT doc_id, str_split(text, ' ') AS toks FROM corpus0)
+         |), cng AS (
+         | SELECT doc_id, unnest(sh) AS ng FROM sh
+         |), bsh AS (
+         | SELECT doc_id AS bench_id, sh FROM sh
+         | WHERE doc_id < 500 AND doc_id % 50 = 7
+         |), bng AS (
+         | SELECT DISTINCT bench_id, unnest(sh) AS ng FROM bsh
+         |), sizes AS (
+         | SELECT bench_id, COUNT(*) AS bench_ngrams FROM bng GROUP BY 1
+         |), hits AS (
+         | SELECT c.doc_id, b.bench_id, COUNT(DISTINCT c.ng) AS ngrams_hit
+         | FROM cng c JOIN bng b ON c.ng = b.ng
+         | GROUP BY c.doc_id, b.bench_id
+         |)
+         |SELECT h.doc_id, h.bench_id, h.ngrams_hit, s.bench_ngrams,
+         |  ROUND(CAST(h.ngrams_hit AS DOUBLE) / s.bench_ngrams, 6)
+         |    AS containment
+         |FROM hits h JOIN sizes s ON h.bench_id = s.bench_id
+         |WHERE CAST(h.ngrams_hit AS DOUBLE) / s.bench_ngrams >= 0.8""".stripMargin,
     )
   }
 }

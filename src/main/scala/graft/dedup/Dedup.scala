@@ -458,6 +458,47 @@ object Dedup {
         countDistinct(col("_ng")).as("ngrams_hit"))
   }
 
+  /** CONTAINMENT decontamination — the asymmetric complement of the
+    * Jaccard family: a long web page embedding a short eval prompt has
+    * near-zero Jaccard (the page's n-grams swamp the union) but
+    * containment ≈ 1 measured on the BENCHMARK side
+    * (|doc ∩ bench| / |bench|) — exactly the leak shape [[decontaminate]]'s
+    * raw overlap counts surface but don't NORMALIZE, so a fixed count
+    * threshold over- or under-flags depending on benchmark length. Emits
+    * one row per (corpus doc, benchmark) pair clearing `minContainment`:
+    * `(idCol, bench_id, ngrams_hit, bench_ngrams, containment)`.
+    *
+    * Scale shape: identical to [[decontaminate]] — broadcast distinct
+    * (bench_id, ngram) pairs, scan-only corpus projection, only matched
+    * pairs reach the aggregation; the per-benchmark sizes are a second
+    * broadcast of O(suite) rows. The ratio is an exact integer division
+    * in double (both engines compute hit/size from the same two ints), so
+    * the threshold compare replays bit-for-bit in an oracle. */
+  def decontaminateContainment(corpus: DataFrame, idCol: String,
+      textCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 8,
+      minContainment: Double = 0.8): DataFrame = {
+    require(minContainment > 0 && minContainment <= 1,
+      s"minContainment must be in (0,1]: $minContainment")
+    val bng = broadcast(benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        explode(shingleSet(col(benchTextCol), n)).as("_ng"))
+      .distinct())
+    val sizes = broadcast(bng.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("bench_ngrams")))
+    val cng = ensureParallelism(corpus)
+      .select(col(idCol), explode(shingleSet(col(textCol), n)).as("_ng"))
+    cng.join(bng, Seq("_ng"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(countDistinct(col("_ng")).as("ngrams_hit"))
+      .join(sizes, Seq("bench_id"))
+      .withColumn("containment",
+        col("ngrams_hit").cast("double") / col("bench_ngrams"))
+      .where(col("containment") >= minContainment)
+      .select(col(idCol), col("bench_id"), col("ngrams_hit"),
+        col("bench_ngrams"), col("containment"))
+  }
+
   // ------------------------------------------------ connected components
 
   /** Connected components over an undirected near-dup PAIR list — the step

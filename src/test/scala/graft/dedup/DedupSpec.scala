@@ -475,6 +475,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment catches an embedded prompt that Jaccard misses") {
+    val prompt = "what is the capital of france answer paris"      // 8 toks
+    val page = ("filler " * 40) + prompt + (" trailing" * 40)      // long doc
+    val half = "what is the capital of"                            // 5 toks
+    val corpus = Seq((1L, page), (2L, half), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, prompt)).toDF("bench_id", "btext")
+    def run(tau: Double) = Dedup.decontaminateContainment(
+      corpus, "doc_id", "text", bench, "bench_id", "btext",
+      n = 4, minContainment = tau)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("ngrams_hit"), r.getAs[Long]("bench_ngrams"),
+          r.getAs[Double]("containment"))).toMap
+    val strict = run(0.8)
+    // the page contains EVERY bench 4-gram (8 toks → 5 4-grams) despite
+    // its Jaccard vs the prompt being ~5/90 — the asymmetric point
+    assert(strict.keySet === Set(1L))
+    assert(strict(1L) === ((5L, 5L, 1.0)))
+    // the half-prompt doc (5 toks → 2 4-grams, both in bench) surfaces
+    // only once the threshold admits partial containment-of-bench
+    val loose = run(0.4)
+    assert(loose.keySet === Set(1L, 2L))
+    assert(loose(2L)._3 === 0.4) // 2 of 5 bench 4-grams, exactly 0.4
+    intercept[IllegalArgumentException] {
+      Dedup.decontaminateContainment(corpus, "doc_id", "text",
+        bench, "bench_id", "btext", n = 4, minContainment = 0.0)
+    }
+  }
+
   test("line dedup: first (doc, pos) occurrence wins corpus-wide") {
     val docs = Seq(
       (1L, "alpha\nbeta\ngamma"),   // all first occurrences — not reported
