@@ -1458,6 +1458,38 @@ object SparkEntry {
         bench, "bench_id", "text", n = 5, minContainment = 0.8)
         .withColumn("containment", round(col("containment"), 6))
     }),
+
+    // Loudness-normalization planning census (round 7) — can each clip be
+    // gained to the −20 dBFS model target? Blind gain ships re-amplified
+    // silence, re-scaled flat-tops, and newly-clipped peaks; this census
+    // routes each to its band BEFORE the gain pass. Margins measured over
+    // the full structural space (GainSweep: every under-class ≤ 0.258 of
+    // the rail boundary, the impulse plant at 2.00× over — no class
+    // within 2× on either side). Plants by id residue (pcm container):
+    // %5000=53 single-spike impulse (√400 crest at pinned 16 kHz →
+    // would_clip), %5000=59 dead channel (silent), %5000=61 quiet tone
+    // (gains +17 dB cleanly). Corrupt rows: µ-law rail → already_clipped,
+    // flac → undecodable, the rest attenuate fine. The oracle predicts
+    // every (codec, band) count by id arithmetic; Spark earns it by
+    // decoding five formats and running the gain arithmetic per row.
+    "q72_gain_census" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val clips = OracleTables.clips(s, n)
+      val id = expr("CAST(substring(clip_id, 6, 12) AS BIGINT)")
+      val impU = udf((i: Long) => graft.io.ClipsGenerator.impulseBytes(i, 25))
+      val silU = udf((i: Long) => graft.io.ClipsGenerator.silentBytes(i, 25))
+      val quiU = udf((i: Long) => graft.io.ClipsGenerator.quietBytes(i, 25))
+      val planted = clips
+        .withColumn("bytes",
+          when(id % 5000 === 53, impU(id))
+            .when(id % 5000 === 59, silU(id))
+            .when(id % 5000 === 61, quiU(id))
+            .otherwise(col("bytes")))
+        .withColumn("codec",
+          when(id % 5000 === 53 || id % 5000 === 59 || id % 5000 === 61,
+            lit("pcm_s16le")).otherwise(col("codec")))
+      graft.validate.GainCheck.census(planted)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2845,6 +2877,29 @@ object SparkEntry {
          |    AS containment
          |FROM hits h JOIN sizes s ON h.bench_id = s.bench_id
          |WHERE CAST(h.ngrams_hit AS DOUBLE) / s.bench_ngrams >= 0.8""".stripMargin,
+
+    // every band a pure function of (id arithmetic, codec) under the
+    // GainSweep-measured margins: plants 53/59/61 land would_clip /
+    // silent / normalize_ok on the forced pcm label; corrupt µ-law rails
+    // are already_clipped, corrupt flac undecodable, every other row
+    // (incl. corrupt pcm/A-law/ADPCM and duplicate ids) attenuates or
+    // gains cleanly
+    "q72_gain_census" ->
+      s"""SELECT codec,
+         |  CASE WHEN m = 53 THEN 'would_clip'
+         |       WHEN m = 59 THEN 'silent'
+         |       WHEN m = 61 THEN 'normalize_ok'
+         |       WHEN m = 17 AND codec0 = 'flac' THEN 'undecodable'
+         |       WHEN m = 17 AND codec0 = 'pcm_mulaw' THEN 'already_clipped'
+         |       ELSE 'normalize_ok' END AS band,
+         |  COUNT(*) AS clips
+         |FROM (SELECT
+         |    CASE WHEN CAST(substr(clip_id, 6) AS BIGINT) % 5000
+         |      IN (53, 59, 61) THEN 'pcm_s16le' ELSE codec END AS codec,
+         |    codec AS codec0,
+         |    CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
+         |  FROM $clips)
+         |GROUP BY codec, band""".stripMargin,
     )
   }
 }

@@ -157,6 +157,31 @@ object ClipsGenerator {
     WavCodec.wrapPcm16(sr, out)
   }
 
+  /** Planted HIGH-CREST impulse variant of clip i (q72 gain census): a
+    * single ±24000 spike over a ±20 dither floor (above the silence line,
+    * far below quiet-signal level) at a FIXED 16 kHz — 400 samples at the
+    * 25 ms cap, so the crest factor peak/rms ≈ √400 = 20, double the
+    * crest-10 would-clip boundary at the −20 dBFS target (crest margin is
+    * √n-bounded for impulsive signals, which is why the rate is pinned to
+    * the table's hot key rather than inheriting 8 kHz rows' √200 ≈ 14).
+    * Gaining this clip to target drives the spike ~2× past the rail — the
+    * shape a blind normalizer clips. PCM container; spike position and
+    * dither signs are pure functions of i. */
+  def impulseBytes(i: Long, maxSynthMs: Int): Array[Byte] = {
+    val sr = 16000
+    val ms = math.min(durMs(i), maxSynthMs)
+    val n = math.max(1, (sr.toLong * ms / 1000).toInt)
+    val out = new Array[Short](n)
+    var k = 0
+    while (k < n) {
+      out(k) = (if (mix(i + k) % 2 == 0) 20 else -20).toShort
+      k += 1
+    }
+    out((math.floorMod(mix(i), n.toLong)).toInt) =
+      (if (mix(i) % 2 == 0) 24000 else -24000).toShort
+    WavCodec.wrapPcm16(sr, out)
+  }
+
   /** Planted ALL-SILENCE variant of clip i (q59): the same duration shape,
     * every sample zero — a dead channel. */
   def silentBytes(i: Long, maxSynthMs: Int): Array[Byte] = {
