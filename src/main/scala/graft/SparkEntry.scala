@@ -1330,13 +1330,15 @@ object SparkEntry {
     // scan before any ANN/near-dup stage trusts Array[Float] payloads: a
     // single NaN poisons every dot product, wrong dims crash the kernel,
     // zero vectors make cosine undefined, un-normalized vectors silently
-    // re-weight similarity. Plants by vec_id residue (disjoint, so the
-    // oracle predicts every band by pure id arithmetic): %97=23 NULL,
-    // %97=17 sliced to 32 dims, %97=5 NaN at position 3, %97=11 all-zero,
-    // %97=29 scaled 2× (norm 2 vs the 1e-3 unit tolerance — organic
-    // vectors sit within 2e-7 of unit norm, measured at all three sf).
-    // All native codegen'd HOFs (size/exists/aggregate) — no UDF; only
-    // (band, count) pairs enter an exchange.
+    // re-weight similarity — and a NULL ELEMENT slides past every
+    // three-valued-logic test to 'ok' unless banded explicitly. Plants by
+    // vec_id residue (disjoint, so the oracle predicts every band by
+    // pure id arithmetic): %97=23 NULL, %97=17 sliced to 32 dims,
+    // %97=5 NaN at position 3, %97=31 NULL element at position 5,
+    // %97=11 all-zero, %97=29 scaled 2× (norm 2 vs the 1e-3 unit
+    // tolerance — organic vectors sit within 2e-7 of unit norm, measured
+    // at all three sf). All native codegen'd HOFs (size/exists/
+    // aggregate) — no UDF; only (band, count) pairs enter an exchange.
     "q67_embedding_validate" -> ((s, dir) => {
       import graft.validate.EmbeddingCheck
       val emb = tbl(s, dir, "embeddings")
@@ -1346,6 +1348,8 @@ object SparkEntry {
           .when(m === 17, slice(col("embedding"), 1, 32))
           .when(m === 5, transform(col("embedding"),
             (x, i) => when(i === 3, lit(Float.NaN)).otherwise(x)))
+          .when(m === 31, transform(col("embedding"),
+            (x, i) => when(i === 5, lit(null).cast("float")).otherwise(x)))
           .when(m === 11, transform(col("embedding"), _ => lit(0.0f)))
           .when(m === 29, transform(col("embedding"), x => x * 2.0f))
           .otherwise(col("embedding")))
@@ -2761,6 +2765,7 @@ object SparkEntry {
         | SELECT CASE WHEN vec_id % 97 = 23 THEN 'null_vector'
         |   WHEN vec_id % 97 = 17 THEN 'wrong_dim'
         |   WHEN vec_id % 97 = 5 THEN 'non_finite'
+        |   WHEN vec_id % 97 = 31 THEN 'null_element'
         |   WHEN vec_id % 97 = 11 THEN 'zero_vector'
         |   WHEN vec_id % 97 = 29 THEN 'not_unit_norm'
         |   ELSE 'ok' END AS band

@@ -440,12 +440,17 @@ object Dedup {
       benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
       n: Int = 8, fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    // materialize the exploded suite ONCE (eager localCheckpoint): it
+    // feeds three consumers — the size count, the bloom build, and the
+    // exact confirm join — and un-materialized each would re-run the
+    // explode + shuffle-distinct over the full suite
     val bng = benchmark
       .select(col(benchIdCol).as("_bench_id"),
         explode(shingleSet(col(benchTextCol), n)).as("_ng"))
       .distinct()
+      .localCheckpoint()
     val grams = bng.select("_ng").distinct()
-    val expected = math.max(grams.count(), 1L) // one suite pass, O(suite)
+    val expected = math.max(grams.count(), 1L)
     val bloom = grams.stat.bloomFilter("_ng", expected, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bc.value.mightContain(s))
@@ -664,10 +669,18 @@ object Dedup {
           col("keeper_id").as("_corpus_keeper")),
         Seq("_fp"), "left_outer")
       .select(col(idCol),
-        when(col("_corpus_keeper").isNotNull, "dup_of_corpus")
+        // NULL-text rows have no content identity: the join's equality
+        // never matches them against the corpus, but the window's
+        // partitionBy GROUPS null fingerprints together — without the
+        // guard, two unknown-content rows would be declared duplicates
+        // of each other and one silently dropped downstream. They land
+        // 'new'; q01's null checks own that hygiene.
+        when(col("_fp").isNull, "new")
+          .when(col("_corpus_keeper").isNotNull, "dup_of_corpus")
           .when(col(idCol) =!= col("_first_id"), "dup_in_batch")
           .otherwise("new").as("status"),
-        when(col("_corpus_keeper").isNotNull, col("_corpus_keeper"))
+        when(col("_fp").isNull, lit(null))
+          .when(col("_corpus_keeper").isNotNull, col("_corpus_keeper"))
           .when(col(idCol) =!= col("_first_id"), col("_first_id"))
           .as("dup_of"))
   }
@@ -680,8 +693,18 @@ object Dedup {
     * (small) batch side shuffles. Size: `bands` longs + an id per corpus
     * doc, a tiny fraction of corpus bytes. */
   def minhashStore(corpus: DataFrame, idCol: String, textCol: String,
-      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame =
-    minhashBanded(corpus, idCol, textCol, shingleLen, numHashes, bands)
+      shingleLen: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    // the cap applies at store-BUILD time: a degenerate corpus bucket
+    // (boilerplate cluster sharing one (band, bandhash)) persisted
+    // uncapped would fan every colliding batch row out against all its
+    // members at ingest — the hot-bucket blowup capBuckets exists to
+    // stop, reintroduced on the corpus side. Same monitoring contract as
+    // the online path: run [[oversizedBuckets]] on the banded frame to
+    // see what the cap dropped.
+    capBuckets(
+      minhashBanded(corpus, idCol, textCol, shingleLen, numHashes, bands),
+      Seq("_band", "_bandhash"), maxBucketSize)
       .select(col("_id").as(idCol), col("_band").as("band"),
         col("_bandhash").as("bandhash"))
 

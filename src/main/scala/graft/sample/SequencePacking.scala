@@ -58,11 +58,10 @@ object SequencePacking {
       .collect() // O(partitions) — same discipline as manifest collects
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
-    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) =>
-      (pid, acc + t)
-    }.tail.map { case (pid, cum) => (pid, cum) }
-    // base offset for pid = sum of totals of all SMALLER pids
-    val baseRows = totals.map(_._1).zip(0L +: bases.map(_._2).dropRight(1))
+    // base offset for pid = sum of totals of all SMALLER pids: the plain
+    // exclusive prefix sum of the pid-sorted totals
+    val baseRows = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1))
       .map { case (pid, base) => Row(pid.toLong, base) }
     val baseDf = s.createDataFrame(
       s.sparkContext.parallelize(baseRows.toSeq, 1),
@@ -98,17 +97,27 @@ object SequencePacking {
   }
 
   /** Corpus-level packing census: total docs/tokens, chunk count, docs
-    * crossing a boundary, and the fill fraction of the final partial
-    * chunk — the one-row summary a budget-tuning sweep compares across
-    * `chunkTokens` values. */
+    * crossing a boundary, and the fill fraction of the final chunk — the
+    * one-row summary a budget-tuning sweep compares across `chunkTokens`
+    * values (a low fill on the last chunk is waste; many crossing docs
+    * means a non-splitting loader truncates). Empty input reports zeros,
+    * not NULLs. */
   def packSummary(df: DataFrame, idCol: String, sizeCol: String,
       chunkTokens: Long, partitions: Int = 0): DataFrame = {
     val rep = packReport(df, idCol, sizeCol, chunkTokens, partitions)
+    val total = coalesce(sum(col(sizeCol)), lit(0L))
+    val chunks = coalesce(max(col("chunk_last")) + 1, lit(0L))
     rep.agg(
       count(lit(1)).as("docs"),
-      sum(col(sizeCol)).as("total_tokens"),
-      (max(col("chunk_last")) + 1).as("chunks"),
-      sum(when(col("crosses_chunk"), 1L).otherwise(0L))
-        .as("docs_crossing"))
+      total.as("total_tokens"),
+      chunks.as("chunks"),
+      coalesce(sum(when(col("crosses_chunk"), 1L).otherwise(0L)), lit(0L))
+        .as("docs_crossing"),
+      // tokens landing in the final chunk / chunkTokens; exactly 1.0 for
+      // a perfectly filled last chunk, 0.0 for an empty corpus
+      when(chunks === 0, 0.0)
+        .otherwise((total - (chunks - 1) * chunkTokens)
+          .cast("double") / chunkTokens)
+        .as("final_chunk_fill"))
   }
 }

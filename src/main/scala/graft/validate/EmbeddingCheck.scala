@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   * replay must mirror):
   *   - `null_vector`   — column NULL
   *   - `wrong_dim`     — length ≠ the declared model dimension
+  *   - `null_element`  — any element NULL (three-valued logic would
+  *     otherwise slide such a vector past EVERY later test to `ok`:
+  *     `exists(isnan)` over a null element is NULL, the aggregate norm is
+  *     NULL, and a NULL compare never fires a when-branch — yet the null
+  *     element still poisons downstream dot products)
   *   - `non_finite`    — any element NaN or ±Inf
   *   - `zero_vector`   — all elements exactly 0 (norm 0; cosine undefined)
   *   - `not_unit_norm` — |norm − 1| > tolerance (default 1e-3; organic
@@ -30,8 +35,8 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingCheck {
 
-  val Bands: Seq[String] = Seq("null_vector", "wrong_dim", "non_finite",
-    "zero_vector", "not_unit_norm", "ok")
+  val Bands: Seq[String] = Seq("null_vector", "wrong_dim", "null_element",
+    "non_finite", "zero_vector", "not_unit_norm", "ok")
 
   /** Squared L2 norm as a codegen'd fold (float summed in double). */
   def normSq(vec: Column): Column =
@@ -43,6 +48,7 @@ object EmbeddingCheck {
     val sq = normSq(vec)
     when(vec.isNull, "null_vector")
       .when(size(vec) =!= dim, "wrong_dim")
+      .when(exists(vec, _.isNull), "null_element")
       .when(exists(vec, x => isnan(x) ||
         abs(x.cast("double")) === lit(Double.PositiveInfinity)),
         "non_finite")

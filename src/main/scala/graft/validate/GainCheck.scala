@@ -92,6 +92,21 @@ object GainCheck {
     else "normalize_ok"
   }
 
+  /** Column-form banding of a [[statsUdf]] struct — ONE definition shared
+    * by [[measure]] and any streaming twin (must mirror [[band]]'s order
+    * exactly; the QualityCensus/ContainerCheck discipline, so the scalar
+    * path the sweep measures and the shipped operator cannot drift). */
+  def bandCol(st: org.apache.spark.sql.Column,
+      targetDbfs: Double): org.apache.spark.sql.Column = {
+    val gain = pow(lit(10.0), (lit(targetDbfs) - st.getField("_2")) / 20.0)
+    when(!st.getField("_1"), "undecodable")
+      .when(st.getField("_3") >= QualityCensus.ClipFracThreshold,
+        "already_clipped")
+      .when(st.getField("_4") >= SilentFracFloor, "silent")
+      .when(st.getField("_5") * gain > 32767.0, "would_clip")
+      .otherwise("normalize_ok")
+  }
+
   /** (bytes, codec) → struct(decoded, rms_dbfs, clip_frac, silence_frac,
     * peak). Decode failure is data, not an exception. */
   val statsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -110,19 +125,13 @@ object GainCheck {
     val sampled =
       clips.where(SampleFilter.sampledOrAll(col("clip_id"), sampleEvery))
     val st = statsUdf(col("bytes"), col("codec"))
-    val gain = pow(lit(10.0), (lit(targetDbfs) - col("_st._2")) / 20.0)
     sampled
       .withColumn("_st", st)
       .select(
         col("clip_id"), col("codec"),
         round(col("_st._2"), 3).as("rms_dbfs"),
         round(lit(targetDbfs) - col("_st._2"), 3).as("gain_db"),
-        when(!col("_st._1"), "undecodable")
-          .when(col("_st._3") >= QualityCensus.ClipFracThreshold,
-            "already_clipped")
-          .when(col("_st._4") >= SilentFracFloor, "silent")
-          .when(col("_st._5") * gain > 32767.0, "would_clip")
-          .otherwise("normalize_ok").as("band"))
+        bandCol(col("_st"), targetDbfs).as("band"))
   }
 
   /** The census rollup: (codec, band, clips) — the only exchange. */

@@ -426,6 +426,19 @@ class DedupSpec extends AnyFunSuite {
     // {102,103}, {101}, {104} → 4 firsts, 2 batch-internal dups
     assert(cold.where(col("status") === "new").count() === 4L)
     assert(cold.where(col("status") === "dup_in_batch").count() === 2L)
+    // NULL-text rows have no content identity: two of them must NOT be
+    // declared duplicates of each other (the window groups null
+    // fingerprints; ungated, the second would land dup_in_batch and be
+    // silently dropped downstream)
+    val nulls = Dedup.incrementalExact(
+      Seq((10L, null: String), (20L, null: String), (30L, "real text"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", store)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("status"), Option(r.get(2))))).toMap
+    assert(nulls(10L) === (("new", None)))
+    assert(nulls(20L) === (("new", None)))
+    assert(nulls(30L)._1 === "new")
   }
 
   test("decontaminate flags n-gram overlap with a benchmark suite") {

@@ -63,9 +63,9 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(rep(2L)._3 === rep(2L)._4 && !rep(2L)._5)
   }
 
-  test("packSummary: docs, totals, chunk count, crossing census") {
+  test("packSummary: docs, totals, chunks, crossing census, final fill") {
     val s = SequencePacking.packSummary(docs, "id", "toks", chunkTokens = 8)
-      .as[(Long, Long, Long, Long)].head()
+      .as[(Long, Long, Long, Long, Double)].head()
     assert(s._1 === 10L) // docs
     assert(s._2 === 67L) // total tokens
     assert(s._3 === 9L)  // 67 tokens → last chunk index 8 → 9 chunks
@@ -73,6 +73,12 @@ class SequencePackingSpec extends AnyFunSuite {
       .packReport(docs, "id", "toks", chunkTokens = 8)
       .where(col("crosses_chunk")).count()
     assert(s._4 === crossing)
+    assert(s._5 === (67.0 - 64.0) / 8.0) // 3 tokens in the final chunk
+    // empty input: zeros, never NULLs
+    val empty = SequencePacking
+      .packSummary(docs.where(lit(false)), "id", "toks", chunkTokens = 8)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(empty === ((0L, 0L, 0L, 0L, 0.0)))
   }
 
   test("chunkTokens must be positive") {

@@ -41,6 +41,20 @@ class EmbeddingCheckSpec extends AnyFunSuite {
     assert(band === "wrong_dim")
   }
 
+  test("a NULL element is banded, not slid to 'ok' by three-valued logic") {
+    // build a correct-length vector with one NULL element via SQL (a
+    // Scala Array[Float] cannot hold null) — the exact shape that made
+    // exists(isnan)=NULL, norm=NULL, and every later compare fall through
+    val v = spark.sql(
+      """SELECT 1L AS vec_id,
+        |  transform(array(0.5F, 0.5F, 0.5F, 0.5F),
+        |    (x, i) -> IF(i = 2, CAST(NULL AS FLOAT), x)) AS embedding
+        |""".stripMargin)
+    val got = EmbeddingCheck.measure(v, "embedding", dim = 4)
+      .select("band").as[String].head()
+    assert(got === "null_element")
+  }
+
   test("norm tolerance: organic float error passes, real drift fails") {
     // a unit vector perturbed by float rounding (~1e-7) stays ok
     val nearly = Seq((1L, unit(64, 42))).toDF("vec_id", "embedding")
