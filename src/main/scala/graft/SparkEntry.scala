@@ -1494,6 +1494,24 @@ object SparkEntry {
             lit("pcm_s16le")).otherwise(col("codec")))
       graft.validate.GainCheck.census(planted)
     }),
+
+    // Per-group heavy hitters (round 7) — the boilerplate-per-source
+    // census: which tokens dominate EACH source (the per-domain
+    // boilerplate a curation pass strips), where a per-group naive
+    // groupBy(source, token) shuffles every distinct (source, token)
+    // pair. One Misra–Gries sketch per group (O(groups·k) to the driver
+    // — groupCol is low-cardinality by contract), then an exact pass
+    // semi-joined against the broadcast candidate pairs, so the
+    // per-group singleton tail never enters a shuffle. Output EXACT at
+    // any k — the oracle is the naive per-group count.
+    "q73_heavy_hitters_by_source" -> ((s, dir) => {
+      import graft.sketch.HeavyHitters
+      val docs = tbl(s, dir, "documents")
+      val toks = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      HeavyHitters.overThresholdByGroup(toks, "source", "token",
+        threshold = 30L, k = 128)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2905,6 +2923,14 @@ object SparkEntry {
          |    CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
          |  FROM $clips)
          |GROUP BY codec, band""".stripMargin,
+
+    // the naive per-group count — the sketch-then-exact operator must
+    // reproduce it exactly within every group
+    "q73_heavy_hitters_by_source" ->
+      """SELECT source, t AS token, COUNT(*) AS occurrences
+        |FROM (SELECT source, unnest(str_split(text, ' ')) AS t
+        |      FROM documents)
+        |GROUP BY source, t HAVING COUNT(*) >= 30""".stripMargin,
     )
   }
 }

@@ -153,4 +153,65 @@ object HeavyHitters {
       .agg(count(lit(1)).as(outCol))
       .where(col(outCol) >= threshold)
   }
+
+  /** Exact per-GROUP heavy hitters: every (group, item) pair where the
+    * item occurs ≥ `threshold` times WITHIN the group — the
+    * boilerplate-per-source census (which tokens/lines dominate each
+    * source or language). Same two-pass shape as [[overThreshold]], one
+    * sketch per group: the sketch aggregation collects O(groups · k)
+    * entries to the driver, so `groupCol` must be LOW-cardinality
+    * (sources, languages, codecs — the q45/q55 drift-group contract, NOT
+    * a row-scale key); the exact pass semi-joins against the broadcast
+    * (group, item) candidate set, so the per-group singleton tail never
+    * enters a shuffle. A NULL group is a group like any other (null-safe
+    * join). Escalates k ×8 while ANY group's deducted mass reaches the
+    * threshold — per-group n bounds deducted, so groups converge at
+    * k ≥ max_g(n_g)/threshold. */
+  def overThresholdByGroup(df: DataFrame, groupCol: String, itemCol: String,
+      threshold: Long, k: Int = 512, outCol: String = "occurrences"): DataFrame = {
+    require(threshold > 0, s"threshold must be positive: $threshold")
+    require(k > 0, s"k must be positive: $k")
+    val spark = df.sparkSession
+    var curK = k
+    var cand: Seq[(Any, String)] = Seq.empty
+    var conclusive = false
+    while (!conclusive) {
+      val agg = udaf(new MisraGriesAgg(curK))
+      val perGroup = df.groupBy(col(groupCol))
+        .agg(agg(col(itemCol)).as("mg")).collect()
+        .map(r => (r.get(0), r.getMap[String, Long](1)))
+      conclusive = perGroup.forall(
+        _._2.getOrElse(DeductedKey, 0L) < threshold)
+      if (conclusive)
+        cand = perGroup.toSeq.flatMap { case (g, est) =>
+          val ded = est.getOrElse(DeductedKey, 0L)
+          // .toSeq BEFORE collect: collecting a Map into (g, x) pairs
+          // would rebuild a Map keyed by g and silently collapse the
+          // group's candidates to one
+          est.toSeq.collect {
+            case (x, v) if x != DeductedKey && v + ded >= threshold =>
+              (g, x)
+          }
+        }
+      else curK = if (curK > Int.MaxValue / 8) Int.MaxValue else curK * 8
+    }
+    val gField = df.schema(groupCol)
+    if (cand.isEmpty)
+      return df.select(col(groupCol), col(itemCol))
+        .withColumn(outCol, lit(null).cast("long")).limit(0)
+    val candSchema = org.apache.spark.sql.types.StructType(Seq(
+      gField.copy(name = "_cg"),
+      org.apache.spark.sql.types.StructField("_ci",
+        org.apache.spark.sql.types.StringType)))
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cand.map { case (g, x) => org.apache.spark.sql.Row(g, x) }, 1),
+      candSchema)
+    df.join(broadcast(candDf),
+        col(groupCol) <=> col("_cg") && col(itemCol) === col("_ci"),
+        "left_semi")
+      .groupBy(col(groupCol), col(itemCol))
+      .agg(count(lit(1)).as(outCol))
+      .where(col(outCol) >= threshold)
+  }
 }

@@ -108,4 +108,34 @@ class MisraGriesSpec extends AnyFunSuite {
   test("deducted key never collides with a whitespace-split token") {
     assert(HeavyHitters.DeductedKey.contains(" "))
   }
+
+  test("per-group: EXACT vs the naive count, with group isolation") {
+    val rows = (stream(3, 15000, 300).map(("a", _))
+      ++ stream(4, 15000, 300).map(("b", _))
+      ++ Seq.fill(250)((null: String, "nullish"))) // NULL group is a group
+    val df = rows.toDF("grp", "item").repartition(5)
+    val expected = df.groupBy("grp", "item").count()
+      .where(col("count") >= 200)
+      .as[(Option[String], String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(expected.nonEmpty)
+    assert(expected.contains((None, "nullish")))
+    // an item heavy in one group must not leak into the other: the two
+    // Zipf streams have different seeds, so per-group counts differ
+    for (k <- Seq(8, 64)) { // k=8 forces the per-group escalation path
+      val got = HeavyHitters
+        .overThresholdByGroup(df, "grp", "item", threshold = 200L, k = k)
+        .as[(Option[String], String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === expected, s"k=$k")
+    }
+  }
+
+  test("per-group: impossible threshold yields an empty typed frame") {
+    val df = Seq(("a", "x"), ("b", "y")).toDF("grp", "item")
+    val empty = HeavyHitters
+      .overThresholdByGroup(df, "grp", "item", threshold = 100L, k = 4)
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq === Seq("grp", "item", "occurrences"))
+  }
 }
