@@ -1512,6 +1512,29 @@ object SparkEntry {
       HeavyHitters.overThresholdByGroup(toks, "source", "token",
         threshold = 30L, k = 128)
     }),
+
+    // Span-level exact-substring dedup (round 8) — the Lee et al. 2022
+    // ExactSubstr rule: repeated ≥6-token spans corpus-wide keep only
+    // their first occurrence. Plants: a shared 8-token boilerplate
+    // sentence appended to %7==1 docs (cross-doc repeats — every planted
+    // doc but the min(doc,pos) owner reports one flagged span) and a
+    // self-repeat of each %11==3 doc's own first 8 tokens (the
+    // within-doc control — flags the SECOND occurrence only, in the same
+    // doc). The oracle replays the identical shingle recipe,
+    // first-occurrence window, and gaps-and-islands interval merge.
+    "q74_span_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      val planted = docs.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 1,
+          lit(" graft span plant alpha beta gamma delta omega"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 3 && size(toks) >= 8,
+          concat(lit(" "), array_join(slice(toks, 1, 8), " ")))
+          .otherwise(lit(""))))
+      graft.dedup.Dedup.spanDedupReport(
+        planted.select("doc_id", "text"), "doc_id", "text", k = 6)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2931,6 +2954,52 @@ object SparkEntry {
         |FROM (SELECT source, unnest(str_split(text, ' ')) AS t
         |      FROM documents)
         |GROUP BY source, t HAVING COUNT(*) >= 30""".stripMargin,
+
+    // identical plants, then the same ExactSubstr rule: 6-token shingles
+    // with positions, first (doc, pos) occurrence wins (row_number window
+    // — equivalent to the engine's min(struct) aggregate because
+    // (doc_id, pos) is unique), flagged positions merged per doc by the
+    // gaps-and-islands rule (new island when the position gap exceeds k)
+    "q74_span_dedup" ->
+      """WITH p AS (
+        | SELECT doc_id, text
+        |   || CASE WHEN doc_id % 7 = 1
+        |        THEN ' graft span plant alpha beta gamma delta omega'
+        |        ELSE '' END
+        |   || CASE WHEN doc_id % 11 = 3 AND len(str_split(text, ' ')) >= 8
+        |        THEN ' ' || array_to_string(str_split(text, ' ')[1:8], ' ')
+        |        ELSE '' END
+        |   AS text
+        | FROM documents
+        |), t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM p),
+        |l AS (SELECT doc_id, i, array_to_string(toks[i:i+5], ' ') AS s
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(generate_series(1, len(toks) - 5)) AS i
+        |            FROM t WHERE len(toks) >= 6)),
+        |r AS (SELECT doc_id, i,
+        |        ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, i) AS rn,
+        |        COUNT(*) OVER (PARTITION BY s) AS cnt
+        |      FROM l),
+        |f AS (SELECT doc_id, i FROM r WHERE cnt > 1 AND rn > 1),
+        |isl AS (SELECT doc_id, i,
+        |          CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |                 <= 6 THEN 0 ELSE 1 END AS brk
+        |        FROM f),
+        |g AS (SELECT doc_id, i,
+        |        SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |          ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM isl),
+        |sp AS (SELECT doc_id, island, MIN(i) AS s0, MAX(i) + 6 AS e0
+        |       FROM g GROUP BY doc_id, island),
+        |d AS (SELECT doc_id, COUNT(*) AS spans_flagged,
+        |        CAST(SUM(e0 - s0) AS BIGINT) AS tokens_flagged
+        |      FROM sp GROUP BY doc_id),
+        |tc AS (SELECT doc_id,
+        |         CAST(len(str_split(text, ' ')) AS BIGINT) AS token_count
+        |       FROM p)
+        |SELECT d.doc_id, tc.token_count, d.spans_flagged, d.tokens_flagged,
+        |  d.tokens_flagged = tc.token_count AS emptied
+        |FROM d JOIN tc ON d.doc_id = tc.doc_id""".stripMargin,
     )
   }
 }

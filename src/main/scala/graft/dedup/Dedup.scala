@@ -136,6 +136,91 @@ object Dedup {
       .withColumn("emptied", col("lines_removed") === col("line_count"))
   }
 
+  /** Span-level exact-substring dedup report — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) ExactSubstr rule, the published operator between
+    * line dedup ([[lineDedupReport]]) and whole-doc near-dup
+    * ([[minhashNearDups]]): any ≥ `k`-token SPAN occurring more than once
+    * corpus-wide keeps only its first occurrence — licenses, templates and
+    * quoted passages that survive both neighbours (not whole lines, not
+    * whole near-dup docs) are caught here.
+    *
+    * The paper builds a suffix array; the distributed re-expression is
+    * overlapping k-token shingles with their positions: a repeated span of
+    * length L ≥ k repeats all of its L−k+1 shingles, so flagging every
+    * NON-FIRST occurrence of a repeated shingle and merging the flagged
+    * positions per doc into maximal intervals recovers exactly the
+    * repeated spans. Report: one row per doc losing at least one span —
+    * (id, token_count, spans_flagged, tokens_flagged, emptied).
+    *
+    * Scale shape (the q57 discipline):
+    *   - the shingle key shuffles as TWO independent xxhash64 values
+    *     (128 bits — corpus-wide collision odds ~n²/2¹²⁹, vacuous at
+    *     10¹² shingles), never the k-token string itself;
+    *   - first occurrence is a `min(struct(id, pos))` AGGREGATE, not a
+    *     window — partial aggregation collapses a boilerplate span
+    *     repeated 10⁹ times map-side, and the `count > 1` filter shrinks
+    *     the join side to repeated shingles only;
+    *   - the join back is shingle-hash-keyed (AQE skew split covers hot
+    *     keys); whole documents never shuffle — only (hash, id, pos);
+    *   - the per-doc interval merge is a sorted `collect_list(pos)` +
+    *     an `aggregate` HOF — state bounded by the doc's own flagged
+    *     positions, no window, no driver involvement.
+    * PlanShapeSpec pins no-Window. Docs shorter than k tokens carry no
+    * k-token span and are exempt by construction. */
+  def spanDedupReport(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    // docs with < k tokens carry no k-token span (and shingles()'s
+    // short-doc whole-text branch must never fire here)
+    val eligible = ensureParallelism(df)
+      .where(size(TextAnalysis.tokens(col(textCol))) >= k)
+    val sh = eligible
+      .select(col(idCol),
+        posexplode(shingles(col(textCol), k)).as(Seq("pos", "_sh")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        xxhash64(lit(0), col("_sh")).as("_h1"),
+        xxhash64(lit(1), col("_sh")).as("_h2"))
+    val repeated = sh.groupBy(col("_h1"), col("_h2"))
+      .agg(min(struct(col(idCol), col("pos"))).as("_keeper"),
+        count(lit(1)).as("_cnt"))
+      .where(col("_cnt") > 1)
+      .select(col("_h1"), col("_h2"), col("_keeper"))
+    val flagged = sh.join(repeated, Seq("_h1", "_h2"))
+      .where(!(col(idCol) === col(s"_keeper.$idCol") &&
+        col("pos") === col("_keeper.pos")))
+      .select(col(idCol), col("pos"))
+    // per-doc merge of the flagged [pos, pos+k) windows into maximal
+    // intervals: sorted positions + one aggregate HOF pass carrying
+    // (spans, tokens-closed, current-start, current-exclusive-end)
+    val zero = struct(lit(0L).as("spans"), lit(0L).as("tok"),
+      lit(-1L).as("s"), lit(-1L).as("e"))
+    val merged = flagged.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_ps"))
+      .withColumn("_m", aggregate(col("_ps"), zero,
+        (acc, p) =>
+          when(acc("s") < 0,
+            struct(lit(1L).as("spans"), lit(0L).as("tok"),
+              p.as("s"), (p + k).as("e")))
+          .when(p <= acc("e"), // overlap or adjacency: extend the interval
+            struct(acc("spans").as("spans"), acc("tok").as("tok"),
+              acc("s").as("s"), (p + k).as("e")))
+          .otherwise( // gap: close the interval, open a new one
+            struct((acc("spans") + 1).as("spans"),
+              (acc("tok") + acc("e") - acc("s")).as("tok"),
+              p.as("s"), (p + k).as("e"))),
+        acc => struct(acc("spans").as("spans"),
+          when(acc("s") >= 0, acc("tok") + acc("e") - acc("s"))
+            .otherwise(acc("tok")).as("tok"))))
+      .select(col(idCol), col("_m.spans").as("spans_flagged"),
+        col("_m.tok").as("tokens_flagged"))
+    df.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long")
+          .as("token_count"))
+      .join(merged, Seq(idCol))
+      .withColumn("emptied", col("tokens_flagged") === col("token_count"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Composed-column shingling — parity baseline for the native

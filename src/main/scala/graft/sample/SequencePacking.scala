@@ -106,18 +106,27 @@ object SequencePacking {
       chunkTokens: Long, partitions: Int = 0): DataFrame = {
     val rep = packReport(df, idCol, sizeCol, chunkTokens, partitions)
     val total = coalesce(sum(col(sizeCol)), lit(0L))
-    val chunks = coalesce(max(col("chunk_last")) + 1, lit(0L))
     rep.agg(
-      count(lit(1)).as("docs"),
-      total.as("total_tokens"),
-      chunks.as("chunks"),
-      coalesce(sum(when(col("crosses_chunk"), 1L).otherwise(0L)), lit(0L))
-        .as("docs_crossing"),
+        count(lit(1)).as("docs"),
+        total.as("total_tokens"),
+        coalesce(sum(when(col("crosses_chunk"), 1L).otherwise(0L)), lit(0L))
+          .as("docs_crossing"))
+      // ceil(total/chunkTokens) by exact integer `div`, NOT
+      // max(chunk_last)+1: a trailing zero-size doc whose offset lands
+      // exactly on a chunk boundary reports its boundary chunk one past
+      // the last token-bearing one, which would over-count `chunks` by one
+      // and read final_chunk_fill 0.0 for a perfectly filled corpus
+      // (round-8 advice)
+      .withColumn("chunks",
+        expr(s"(total_tokens + ${chunkTokens - 1}L) div ${chunkTokens}L"))
       // tokens landing in the final chunk / chunkTokens; exactly 1.0 for
       // a perfectly filled last chunk, 0.0 for an empty corpus
-      when(chunks === 0, 0.0)
-        .otherwise((total - (chunks - 1) * chunkTokens)
-          .cast("double") / chunkTokens)
-        .as("final_chunk_fill"))
+      .withColumn("final_chunk_fill",
+        when(col("chunks") === 0, 0.0)
+          .otherwise((col("total_tokens")
+            - (col("chunks") - 1) * chunkTokens)
+            .cast("double") / chunkTokens))
+      .select("docs", "total_tokens", "chunks", "docs_crossing",
+        "final_chunk_fill")
   }
 }

@@ -1,6 +1,7 @@
 package graft.sketch
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -78,25 +79,27 @@ final class MisraGries(val k: Int) extends Serializable {
     }.toSeq
 }
 
+/** The sketch's typed result: the error bound travels in its OWN field, so
+  * no input item — whatever its bytes — can collide with a side channel
+  * (the round-7 design smuggled `deducted` through a reserved map key,
+  * which a hostile/unlucky input string could shadow; round-8 advice). */
+case class MgResult(estimates: Map[String, Long], deducted: Long)
+
 /** Typed UDAF over a string column: partial Misra–Gries maps per task,
   * merged associatively — the same two-level ObjectHashAggregate shape as
   * [[TDigest]]'s `TDigestAgg`, O(k) state per task, no driver involvement
   * until the final O(k) result. NULL inputs are skipped. */
 class MisraGriesAgg(k: Int)
-    extends Aggregator[String, MisraGries, Map[String, Long]] {
+    extends Aggregator[String, MisraGries, MgResult] {
   def zero: MisraGries = new MisraGries(k)
   def reduce(b: MisraGries, a: String): MisraGries = {
     if (a != null) b.add(a)
     b
   }
   def merge(b1: MisraGries, b2: MisraGries): MisraGries = b1.merge(b2)
-  def finish(r: MisraGries): Map[String, Long] =
-    // smuggle the error bound out under a key no token can collide with
-    // (tokens are split on spaces, so no token contains one)
-    r.estimates + (HeavyHitters.DeductedKey -> r.deducted)
+  def finish(r: MisraGries): MgResult = MgResult(r.estimates, r.deducted)
   def bufferEncoder: Encoder[MisraGries] = Encoders.kryo[MisraGries]
-  def outputEncoder: Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  def outputEncoder: Encoder[MgResult] = Encoders.product[MgResult]
 }
 
 /** Exact heavy hitters at 100 TB: the naive `groupBy(token).count()`
@@ -105,50 +108,82 @@ class MisraGriesAgg(k: Int)
   * spends one sketch pass (map-side O(k) state, merged — nothing but
   * O(partitions·k) sketch entries move) to learn the tiny candidate set,
   * then one exact pass whose exchange carries ONLY candidate tokens
-  * (the `isin` filter sits below the aggregate, so the singleton tail
-  * never enters a shuffle). Output is EXACT — the sketch bounds guarantee
-  * the candidate superset, the second pass does the counting. */
-object HeavyHitters {
+  * (a broadcast candidate semi-join sits below the aggregate, so the
+  * singleton tail never enters a shuffle). Output is EXACT — the sketch
+  * bounds guarantee the candidate superset, the second pass does the
+  * counting.
+  *
+  * Driver-safety bound (round-8 advice): an undersized sketch escalates
+  * k ×8, but never past `maxK` — past it the per-task counter maps (2k
+  * entries each) and the final collected sketch stop being "small", and a
+  * pathological n/threshold would otherwise re-submit identical jobs at a
+  * pinned k forever. At the cap the operator FALLS BACK to the exact
+  * distributed `groupBy(item).count` — correct at any scale, just paying
+  * the full-vocabulary exchange the sketch exists to avoid — and logs the
+  * decision. */
+object HeavyHitters extends Logging {
 
-  /** Reserved key carrying the sketch's total-deducted bound through the
-    * UDAF's map output (contains a space — no whitespace token collides). */
-  val DeductedKey = " graft:deducted"
+  /** Default escalation ceiling: 2²² counters ≈ a few hundred MB of task
+    * state — the largest sketch that is still clearly cheaper than the
+    * exact shuffle it would replace. */
+  val DefaultMaxK: Int = 1 << 22
 
   /** Exact (item, occurrences) for every item occurring ≥ `threshold`
     * times in `itemCol`. `k` sizes the initial sketch; correctness never
     * depends on it: a sketch is CONCLUSIVE only when its total deducted
     * mass sits below the threshold (an item absent from the map has
     * true ≤ deducted — only then is absence proof of not-heavy), so an
-    * undersized sketch escalates k ×8 and re-sketches. deducted ≤
-    * n/(k+1) guarantees k ≥ n/threshold terminates the loop, i.e.
-    * O(log(n/(threshold·k₀))) extra scan passes in the worst case — pick
-    * k ≳ n/threshold up front to stay at one. */
+    * undersized sketch escalates k ×8 and re-sketches; deducted ≤ n/(k+1)
+    * guarantees k ≥ n/threshold terminates the loop — pick k ≳ n/threshold
+    * up front to stay at one pass. Escalation stops at `maxK`; past it the
+    * exact distributed groupBy runs instead (see object doc). */
   def overThreshold(df: DataFrame, itemCol: String, threshold: Long,
-      k: Int = 512, outCol: String = "occurrences"): DataFrame = {
+      k: Int = 512, outCol: String = "occurrences",
+      maxK: Int = DefaultMaxK): DataFrame = {
     require(threshold > 0, s"threshold must be positive: $threshold")
     require(k > 0, s"k must be positive: $k")
+    require(maxK >= k, s"maxK ($maxK) must be >= k ($k)")
     var curK = k
-    var est: scala.collection.Map[String, Long] = null
+    var est: Map[String, Long] = null
     var deducted = 0L
     var conclusive = false
     while (!conclusive) {
       val agg = udaf(new MisraGriesAgg(curK))
-      est = df.select(agg(col(itemCol)).as("mg")).head()
-        .getMap[String, Long](0)
-      deducted = est.getOrElse(DeductedKey, 0L)
+      val mg = df.select(agg(col(itemCol)).as("mg"))
+        .head().getStruct(0)
+      est = mg.getMap[String, Long](0).toMap
+      deducted = mg.getLong(1)
       conclusive = deducted < threshold
-      if (!conclusive)
-        curK = if (curK > Int.MaxValue / 8) Int.MaxValue else curK * 8
+      if (!conclusive) {
+        if (curK >= maxK) {
+          logWarning(s"heavy-hitters sketch inconclusive at maxK=$maxK " +
+            s"(deducted=$deducted >= threshold=$threshold); falling back " +
+            "to the exact distributed groupBy")
+          return df.groupBy(col(itemCol))
+            .agg(count(lit(1)).as(outCol))
+            .where(col(outCol) >= threshold)
+        }
+        curK = if (curK > maxK / 8) maxK else curK * 8
+      }
     }
     val cand = est.collect {
-      case (x, v) if x != DeductedKey && v + deducted >= threshold => x
+      case (x, v) if v + deducted >= threshold => x
     }.toSeq
     if (cand.isEmpty)
       return df.sparkSession.emptyDataFrame
         .withColumn(itemCol, lit(null).cast("string"))
         .withColumn(outCol, lit(null).cast("long"))
         .limit(0)
-    df.where(col(itemCol).isin(cand: _*))
+    // broadcast candidate semi-join, never an `isin` literal: after an ×8
+    // escalation the candidate list can reach 10⁴⁺ entries, and a 10⁴-arm
+    // In expression blows up codegen where a broadcast hash join is flat
+    // (round-8 advice; same shape as overThresholdByGroup)
+    val candDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cand.map(Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_ci",
+          org.apache.spark.sql.types.StringType))))
+    df.join(broadcast(candDf), col(itemCol) === col("_ci"), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as(outCol))
       .where(col(outCol) >= threshold)
@@ -166,12 +201,19 @@ object HeavyHitters {
     * enters a shuffle. A NULL group is a group like any other (null-safe
     * join). Escalates k ×8 while ANY group's deducted mass reaches the
     * threshold — per-group n bounds deducted, so groups converge at
-    * k ≥ max_g(n_g)/threshold. */
+    * k ≥ max_g(n_g)/threshold — capped at `maxK` with the same exact
+    * `groupBy(group, item).count` fallback as [[overThreshold]]. */
   def overThresholdByGroup(df: DataFrame, groupCol: String, itemCol: String,
-      threshold: Long, k: Int = 512, outCol: String = "occurrences"): DataFrame = {
+      threshold: Long, k: Int = 512, outCol: String = "occurrences",
+      maxK: Int = DefaultMaxK): DataFrame = {
     require(threshold > 0, s"threshold must be positive: $threshold")
     require(k > 0, s"k must be positive: $k")
+    require(maxK >= k, s"maxK ($maxK) must be >= k ($k)")
     val spark = df.sparkSession
+    def exactFallback: DataFrame =
+      df.groupBy(col(groupCol), col(itemCol))
+        .agg(count(lit(1)).as(outCol))
+        .where(col(outCol) >= threshold)
     var curK = k
     var cand: Seq[(Any, String)] = Seq.empty
     var conclusive = false
@@ -179,21 +221,29 @@ object HeavyHitters {
       val agg = udaf(new MisraGriesAgg(curK))
       val perGroup = df.groupBy(col(groupCol))
         .agg(agg(col(itemCol)).as("mg")).collect()
-        .map(r => (r.get(0), r.getMap[String, Long](1)))
-      conclusive = perGroup.forall(
-        _._2.getOrElse(DeductedKey, 0L) < threshold)
+        .map(r => (r.get(0), r.getStruct(1)))
+        .map { case (g, mg) =>
+          (g, mg.getMap[String, Long](0).toMap, mg.getLong(1))
+        }
+      conclusive = perGroup.forall(_._3 < threshold)
       if (conclusive)
-        cand = perGroup.toSeq.flatMap { case (g, est) =>
-          val ded = est.getOrElse(DeductedKey, 0L)
+        cand = perGroup.toSeq.flatMap { case (g, est, ded) =>
           // .toSeq BEFORE collect: collecting a Map into (g, x) pairs
           // would rebuild a Map keyed by g and silently collapse the
           // group's candidates to one
           est.toSeq.collect {
-            case (x, v) if x != DeductedKey && v + ded >= threshold =>
-              (g, x)
+            case (x, v) if v + ded >= threshold => (g, x)
           }
         }
-      else curK = if (curK > Int.MaxValue / 8) Int.MaxValue else curK * 8
+      else {
+        if (curK >= maxK) {
+          logWarning(s"per-group heavy-hitters sketch inconclusive at " +
+            s"maxK=$maxK (threshold=$threshold); falling back to the " +
+            "exact distributed groupBy")
+          return exactFallback
+        }
+        curK = if (curK > maxK / 8) maxK else curK * 8
+      }
     }
     val gField = df.schema(groupCol)
     if (cand.isEmpty)
@@ -205,7 +255,7 @@ object HeavyHitters {
         org.apache.spark.sql.types.StringType)))
     val candDf = spark.createDataFrame(
       spark.sparkContext.parallelize(
-        cand.map { case (g, x) => org.apache.spark.sql.Row(g, x) }, 1),
+        cand.map { case (g, x) => Row(g, x) }, 1),
       candSchema)
     df.join(broadcast(candDf),
         col(groupCol) <=> col("_cg") && col(itemCol) === col("_ci"),

@@ -545,6 +545,81 @@ class DedupSpec extends AnyFunSuite {
     assert(got === Seq(9L), s"doc 9 loses 'shared' to (2, 0) — got $got")
   }
 
+  test("span dedup: repeated >=k-token span flagged in its non-first docs") {
+    // a 6-token span shared by docs 1 and 2, embedded in otherwise
+    // unrelated text; k=4 → 3 repeated shingles in doc 2 merge into ONE
+    // 6-token interval. Doc 3 shares nothing.
+    val span = "lorem ipsum dolor sit amet consectetur"
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three $span four five six"),
+      (3L, "totally unrelated words live here forever and ever more"))
+      .toDF("doc_id", "text").repartition(3)
+    val got = Dedup.spanDedupReport(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("token_count"), r.getAs[Long]("spans_flagged"),
+          r.getAs[Long]("tokens_flagged"), r.getAs[Boolean]("emptied"))))
+      .toMap
+    // min(struct) keeper: doc 1 owns the span (positions 2..7); doc 2's
+    // copy at positions 3..8 is the flagged one
+    assert(got === Map(2L -> ((12L, 1L, 6L, false))), s"got $got")
+  }
+
+  test("span dedup: within-doc repeat flags the second occurrence only") {
+    val docs = Seq(
+      (1L, "aa bb cc dd xx yy aa bb cc dd"), // self-repeat of a 4-token span
+      (2L, "pp qq rr ss tt uu vv ww")).toDF("doc_id", "text")
+    val got = Dedup.spanDedupReport(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("spans_flagged"), r.getAs[Long]("tokens_flagged"))))
+      .toMap
+    assert(got === Map(1L -> ((1L, 4L))), s"got $got")
+  }
+
+  test("span dedup: two disjoint repeated spans stay two spans; whole-doc " +
+      "copy reads emptied") {
+    val s1 = "red orange yellow green"
+    val s2 = "north south east west"
+    val docs = Seq(
+      (1L, s"$s1 one two three four five $s2"),
+      (2L, s"$s1 six seven eight nine ten $s2"), // two disjoint 4-token spans
+      (3L, "winter spring summer autumn solstice equinox harvest frost"),
+      (4L, "winter spring summer autumn solstice equinox harvest frost"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedupReport(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("spans_flagged"), r.getAs[Long]("tokens_flagged"),
+          r.getAs[Boolean]("emptied")))).toMap
+    assert(got === Map(
+      2L -> ((2L, 8L, false)),   // the two spans do NOT merge across the gap
+      4L -> ((1L, 8L, true))),   // verbatim copy → every token flagged
+      s"got $got")
+  }
+
+  test("span dedup: adjacent repeated spans merge into one interval") {
+    // doc 2 repeats doc 1's tokens 0..7 as two back-to-back 4-token spans
+    // (positions 0 and 4 with k=4 are adjacent: 4 <= 0+4) → ONE span of 8
+    val docs = Seq(
+      (1L, "a1 a2 a3 a4 b1 b2 b3 b4 tail1 tail2 tail3"),
+      (2L, "a1 a2 a3 a4 b1 b2 b3 b4 other1 other2 other3"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedupReport(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("spans_flagged"), r.getAs[Long]("tokens_flagged"))))
+      .toMap
+    assert(got === Map(2L -> ((1L, 8L))), s"got $got")
+  }
+
+  test("span dedup: docs shorter than k tokens are exempt") {
+    val docs = Seq(
+      (1L, "tiny dup"), (2L, "tiny dup"), // 2 tokens < k=4: no k-span
+      (3L, "aaa bbb ccc ddd eee"), (4L, "aaa bbb ccc ddd eee"))
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDedupReport(docs, "doc_id", "text", k = 4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got === Set(4L), s"got $got")
+  }
+
   test("incrementalMinhash classifies an append batch against frozen stores") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -613,5 +688,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window operator in plan:\n$plan")
     assert(plan.contains("partial_min") || plan.contains("partial"),
       s"no partial aggregate in plan:\n$plan")
+  }
+
+  test("span dedup: first-occurrence rule is an aggregate, not a window; " +
+      "shingle strings never enter the repeated-key exchange") {
+    // same skew-safety discipline as line dedup: a boilerplate span
+    // repeated 10⁹ times must collapse map-side, never sort in one task
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d x y"))
+      .toDF("doc_id", "text")
+    // AQE would hide the exchanges from `collect` until stages materialize
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = Dedup.spanDedupReport(docs, "doc_id", "text", k = 4)
+        .queryExecution
+      val plan = qe.executedPlan.toString
+      assert(!plan.contains("Window"), s"window operator in plan:\n$plan")
+      assert(plan.contains("partial_min") || plan.contains("partial"),
+        s"no partial aggregate in plan:\n$plan")
+      // the exchange key is the 128-bit hash pair, not the k-token string:
+      // no shuffle output carries the _sh column
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      val exchanges = qe.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.nonEmpty)
+      assert(exchanges.forall(!_.output.exists(_.name == "_sh")),
+        "a shuffle carries the raw shingle string")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }

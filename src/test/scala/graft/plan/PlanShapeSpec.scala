@@ -411,14 +411,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(over.head.getAs[Long]("bucket_size") === 30L)
   }
 
-  test("heavy hitters: the candidate filter sits below every exchange") {
+  test("heavy hitters: the candidate semi-join sits below every exchange") {
     import spark.implicits._
     // the whole point of the sketch pass: the singleton tail dies at the
-    // scan (token IN candidates), so no exchange ever carries the full
-    // vocabulary — an IN-free exchange means the exact pass regressed to
-    // the naive full groupBy
+    // scan (broadcast left_semi against the candidate set — round 8
+    // replaced the literal IN, whose codegen blows up past ~10⁴
+    // candidates), so no exchange ever carries the full vocabulary — a
+    // semi-join-free exchange means the exact pass regressed to the naive
+    // full groupBy
     // localCheckpoint = leaf RDD plan; a LocalRelation would let the
-    // optimizer evaluate the IN-filter at plan time and hide it
+    // optimizer evaluate the candidate filter at plan time and hide it
     val toks = (1 to 4000).map(i => s"tok${i % 37}").toDF("token")
       .repartition(4).localCheckpoint()
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -429,9 +431,10 @@ class PlanShapeSpec extends AnyFunSuite {
       val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
       assert(exchanges.nonEmpty)
       assert(exchanges.forall(_.collectFirst {
-        case f: org.apache.spark.sql.execution.FilterExec
-            if f.condition.toString.contains("IN") => f
-      }.isDefined), "an exchange without the candidate IN-filter below it")
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+            if j.joinType.sql == "LEFT SEMI" => j
+      }.isDefined),
+        "an exchange without the broadcast candidate semi-join below it")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 

@@ -81,6 +81,17 @@ class SequencePackingSpec extends AnyFunSuite {
     assert(empty === ((0L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("trailing zero-size doc on an exact chunk boundary: chunks counts " +
+      "token-bearing chunks, final fill reads 1.0") {
+    // total = 16 = 2×8; the zero-size doc's boundary chunk (index 2) must
+    // NOT inflate the census (round-8 advice: derive chunks from total
+    // tokens, not max(chunk_last)+1)
+    val d = Seq((0L, 8L), (1L, 8L), (2L, 0L)).toDF("id", "toks")
+    val s = SequencePacking.packSummary(d, "id", "toks", chunkTokens = 8)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(s === ((3L, 16L, 2L, 0L, 1.0)))
+  }
+
   test("chunkTokens must be positive") {
     intercept[IllegalArgumentException] {
       SequencePacking.packReport(docs, "id", "toks", chunkTokens = 0)

@@ -105,8 +105,47 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(empty.columns.toSeq === Seq("item", "occurrences"))
   }
 
-  test("deducted key never collides with a whitespace-split token") {
-    assert(HeavyHitters.DeductedKey.contains(" "))
+  test("no sentinel channel: an item equal to the old reserved key is " +
+      "counted and reported like any other") {
+    // round 7 smuggled `deducted` through a reserved map key; the struct
+    // output means no input bytes can shadow the bound any more
+    val hostile = " graft:deducted"
+    val df = (Seq.fill(10)(hostile) ++ Seq("x", "y")).toDF("item")
+    val got = HeavyHitters.overThreshold(df, "item", threshold = 5L, k = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map(hostile -> 10L))
+  }
+
+  test("maxK cap forces the exact-groupBy fallback, result still exact") {
+    // threshold=2 over a long-tailed stream makes every small sketch
+    // inconclusive (deducted >= 2), so escalation hits maxK immediately
+    val xs = stream(11, 20000, 4000)
+    val df = xs.toDF("item").repartition(4)
+    val expected = df.groupBy("item").count()
+      .where(col("count") >= 2)
+      .as[(String, Long)].collect().toMap
+    assert(expected.size > 500) // the fallback path carries real volume
+    val got = HeavyHitters
+      .overThreshold(df, "item", threshold = 2L, k = 4, maxK = 8)
+      .as[(String, Long)].collect().toMap
+    assert(got === expected)
+  }
+
+  test("per-group maxK cap falls back to the exact groupBy, still exact") {
+    val rows = stream(12, 10000, 2000).map(("a", _)) ++
+      stream(13, 10000, 2000).map(("b", _))
+    val df = rows.toDF("grp", "item").repartition(4)
+    val expected = df.groupBy("grp", "item").count()
+      .where(col("count") >= 2)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(expected.size > 500)
+    val got = HeavyHitters
+      .overThresholdByGroup(df, "grp", "item", threshold = 2L, k = 4,
+        maxK = 8)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === expected)
   }
 
   test("per-group: EXACT vs the naive count, with group isolation") {
