@@ -1535,6 +1535,50 @@ object SparkEntry {
       graft.dedup.Dedup.spanDedupReport(
         planted.select("doc_id", "text"), "doc_id", "text", k = 6)
     }),
+
+    // Semantic decontamination (round 8) — the paraphrase evasion class:
+    // q47/q68/q71 match n-grams, so a reworded eval prompt slips all
+    // three; here the corpus embedding stream is probed against a
+    // broadcast benchmark-embedding table via hyperplane LSH + exact
+    // cosine (embeddingNearDups' kernels, asymmetric small side — the
+    // corpus never shuffles). Benchmark = +0.03-perturbed copies of the
+    // vec_id%97==13 corpus vectors (the q33 plant family: planted cosines
+    // ≈ 0.97, organic max ≈ 0.51, threshold 0.9 sits in the gap); the
+    // oracle is the exact all-pairs cosine scan.
+    "q75_semantic_decontam" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val bench = emb.where(col("vec_id") % 97 === 13)
+        .select((col("vec_id") + 300000000L).as("bench_id"),
+          transform(col("embedding"), x => x + lit(0.03d)).as("embedding"))
+      graft.dedup.Dedup.decontaminateSemantic(emb, "vec_id", "embedding",
+        bench, "bench_id", "embedding", dim = 64, cosThreshold = 0.9,
+        planes = 8, tables = 16)
+    }),
+
+    // Corpus version-diff (round 8) — the release-notes step of the
+    // frozen-store lifecycle (q51/q58 freeze a snapshot; this diffs TWO
+    // snapshots): docs added / removed / content-changed between v1 and
+    // v2, computed from the per-doc fingerprint manifests alone — neither
+    // version's text feeds the diff join (DedupSpec pins the
+    // manifests-only plan). v2 plants: %13==5 docs dropped (removed),
+    // %17==3 survivors edited (changed), ten fresh docs appended (added);
+    // a %13∧%17 collision doc is removed, not changed — precedence the
+    // oracle replays by content.
+    "q76_version_diff" -> ((s, dir) => {
+      import graft.dedup.Dedup
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val v2 = docs.where(col("doc_id") % 13 =!= 5)
+        .withColumn("text", when(col("doc_id") % 17 === 3,
+          concat(col("text"), lit(" graft v2 edit"))).otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") < 10).select(
+          (col("doc_id") + 700000000L).as("doc_id"),
+          concat(lit("brand new doc number "),
+            col("doc_id").cast(StringType)).as("text")))
+      Dedup.versionDiff(
+        Dedup.versionManifest(docs, "doc_id", "text"),
+        Dedup.versionManifest(v2, "doc_id", "text"), "doc_id")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3000,6 +3044,53 @@ object SparkEntry {
         |SELECT d.doc_id, tc.token_count, d.spans_flagged, d.tokens_flagged,
         |  d.tokens_flagged = tc.token_count AS emptied
         |FROM d JOIN tc ON d.doc_id = tc.doc_id""".stripMargin,
+
+    // identical benchmark plants, exact all-pairs cosine — the LSH +
+    // broadcast probe must surface exactly the over-threshold pairs
+    "q75_semantic_decontam" ->
+      """WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |b AS (
+        | SELECT vec_id + 300000000 AS bench_id,
+        |        list_transform(v, x -> x + 0.03) AS v
+        | FROM e0 WHERE vec_id % 97 = 13
+        |)
+        |SELECT a.vec_id, b.bench_id,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        |FROM e0 a JOIN b ON list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v))
+        |       * sqrt(list_dot_product(b.v, b.v))) >= 0.9""".stripMargin,
+
+    // identical v2 plants, then the same manifest diff by content:
+    // normalized-md5 fingerprints per version, full-outer join on id,
+    // IS DISTINCT FROM for the changed test (null-text content equality
+    // matches Spark's null-safe <=>)
+    "q76_version_diff" ->
+      """WITH v2 AS (
+        | SELECT doc_id,
+        |   CASE WHEN doc_id % 17 = 3 THEN text || ' graft v2 edit'
+        |        ELSE text END AS text
+        | FROM documents WHERE doc_id % 13 <> 5
+        | UNION ALL
+        | SELECT doc_id + 700000000 AS doc_id,
+        |   'brand new doc number ' || CAST(doc_id AS VARCHAR) AS text
+        | FROM documents WHERE doc_id < 10
+        |),
+        |m1 AS (SELECT doc_id,
+        |  MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM documents),
+        |m2 AS (SELECT doc_id,
+        |  MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM v2)
+        |SELECT COALESCE(m1.doc_id, m2.doc_id) AS doc_id,
+        |  CASE WHEN m1.doc_id IS NULL THEN 'added'
+        |       WHEN m2.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  m1.fp AS old_fingerprint, m2.fp AS new_fingerprint
+        |FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id
+        |WHERE m1.doc_id IS NULL OR m2.doc_id IS NULL
+        |   OR m1.fp IS DISTINCT FROM m2.fp""".stripMargin,
     )
   }
 }

@@ -589,6 +589,51 @@ object Dedup {
         col("bench_ngrams"), col("containment"))
   }
 
+  /** SEMANTIC (embedding-space) decontamination — the evasion class the
+    * n-gram family ([[decontaminate]]/[[decontaminateBloom]]/
+    * [[decontaminateContainment]]) cannot catch: a PARAPHRASED eval prompt
+    * shares no 8-gram with its source but lands within cosine τ of its
+    * embedding. Flags every (corpus, benchmark) pair with cos ≥
+    * `cosThreshold`: `(idCol, bench_id, cosine)`.
+    *
+    * Zero new kernel code: this is [[embeddingNearDups]]'s hyperplane-LSH +
+    * exact-cosine-verify composition with an ASYMMETRIC small side. The
+    * benchmark's `(table, bucket) → (bench_id, vector)` map is BROADCAST,
+    * so the bucket match is a map-side broadcast hash join — the corpus
+    * never shuffles, and each corpus row pays `tables` bucket probes
+    * instead of |benchmark| dot products (the brute-force alternative).
+    * The exact cosine runs inside the same map task (both vectors are in
+    * hand); only over-threshold pairs — the contamination, vanishingly
+    * rare by construction — enter the final dedup exchange, which
+    * collapses multi-table collisions of the same pair.
+    *
+    * Capture: a pair at cosine s collides in ≥1 of `tables` tables with
+    * probability 1-(1-(1-acos(s)/π)^planes)^tables — at the gated
+    * configuration (planes=8, tables=16, τ=0.9) a τ-level pair misses with
+    * p < 1e-4 and the q75 plants (cos ≈ 0.97) with p < 1e-9; the gated
+    * corpus is verified exhaustively against the exact DuckDB scan. */
+  def decontaminateSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchVecCol: String,
+      dim: Int, cosThreshold: Double = 0.95, planes: Int = 8,
+      tables: Int = 16, seed: Long = 42L): DataFrame = {
+    import graft.vector.Similarity
+    val bench = broadcast(benchmark
+      .select(col(benchIdCol).as("bench_id"), col(benchVecCol).as("_bv"))
+      .select(col("bench_id"), col("_bv"),
+        posexplode(Similarity.tableBuckets(col("_bv"), dim, planes, tables,
+          seed)).as(Seq("_t", "_b"))))
+    ensureParallelism(corpus)
+      .select(col(idCol), col(vecCol).as("_cv"))
+      .select(col(idCol), col("_cv"),
+        posexplode(Similarity.tableBuckets(col("_cv"), dim, planes, tables,
+          seed)).as(Seq("_t", "_b")))
+      .join(bench, Seq("_t", "_b"))
+      .withColumn("cosine", Similarity.cosine(col("_cv"), col("_bv")))
+      .where(col("cosine") >= cosThreshold) // map-side: pre-exchange kill
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(round(max(col("cosine")), 6).as("cosine"))
+  }
+
   // ------------------------------------------------ connected components
 
   /** Connected components over an undirected near-dup PAIR list — the step
@@ -722,6 +767,67 @@ object Dedup {
       .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"), col(idCol))
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"))
+
+  /** Per-doc content manifest of one corpus VERSION: `(idCol,
+    * fingerprint)` — the normalized-content identity of every doc, the
+    * snapshot artifact [[versionDiff]] consumes. Unlike
+    * [[fingerprintStore]] (which collapses to one keeper per distinct
+    * content), the manifest keeps every doc id, so two snapshots can be
+    * diffed doc-by-doc. Persist it bucketed by `idCol` (the
+    * `IcebergEmulation.writeBucketed` discipline) and the diff join runs
+    * with zero exchange. */
+  def versionManifest(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+
+  /** Version-diff report between two corpus snapshots, computed from
+    * their [[versionManifest]]s ALONE — neither corpus's text is read:
+    * the dataset-card numbers a curation run publishes between releases.
+    * One row per doc that differs: `(idCol, status, old_fingerprint,
+    * new_fingerprint)` with status ∈ {'added', 'removed', 'changed'}.
+    * Docs whose normalized content is identical (null-safe: a NULL-text
+    * doc on both sides is unchanged) are omitted.
+    *
+    * Scale shape: one id-keyed full-outer join of two narrow (id, 32-char
+    * fp) manifests — ~48 B/row, and zero-exchange when both manifests are
+    * bucketed by id. At 10¹²-doc scale the diff never touches a payload
+    * byte. */
+  def versionDiff(oldManifest: DataFrame, newManifest: DataFrame,
+      idCol: String): DataFrame = {
+    val o = oldManifest.select(col(idCol).as("_oid"),
+      col("fingerprint").as("old_fingerprint"))
+    val n = newManifest.select(col(idCol).as("_nid"),
+      col("fingerprint").as("new_fingerprint"))
+    o.join(n, col("_oid") === col("_nid"), "full_outer")
+      .withColumn(idCol, coalesce(col("_oid"), col("_nid")))
+      .withColumn("status",
+        when(col("_oid").isNull, "added")
+          .when(col("_nid").isNull, "removed")
+          .otherwise("changed"))
+      .where(col("_oid").isNull || col("_nid").isNull ||
+        !(col("old_fingerprint") <=> col("new_fingerprint")))
+      .select(col(idCol), col("status"), col("old_fingerprint"),
+        col("new_fingerprint"))
+  }
+
+  /** One-row-per-status census over the same diff, INCLUDING 'unchanged'
+    * — the headline release-notes table. Same manifests-only contract as
+    * [[versionDiff]]. */
+  def versionDiffSummary(oldManifest: DataFrame, newManifest: DataFrame,
+      idCol: String): DataFrame = {
+    val o = oldManifest.select(col(idCol).as("_oid"),
+      col("fingerprint").as("_ofp"))
+    val n = newManifest.select(col(idCol).as("_nid"),
+      col("fingerprint").as("_nfp"))
+    o.join(n, col("_oid") === col("_nid"), "full_outer")
+      .select(
+        when(col("_oid").isNull, "added")
+          .when(col("_nid").isNull, "removed")
+          .when(col("_ofp") <=> col("_nfp"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("docs"))
+  }
 
   /** Incremental (append-batch) exact dedup — the production ingest shape:
     * classify a NEW batch against an EXISTING corpus represented only by

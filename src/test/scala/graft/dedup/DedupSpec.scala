@@ -690,6 +690,104 @@ class DedupSpec extends AnyFunSuite {
       s"no partial aggregate in plan:\n$plan")
   }
 
+  test("versionDiff classifies added/removed/changed; whitespace-only " +
+      "edits and null-text stability read unchanged") {
+    val v1 = Seq(
+      (1L, Some("alpha beta")), (2L, Some("gamma delta")),
+      (3L, Some("epsilon zeta")), (4L, (None: Option[String])),
+      (5L, Some("kept verbatim"))).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, Some("alpha  beta ")),      // normalization-equal → unchanged
+      (2L, Some("gamma delta EDITED")), // changed
+      // 3 dropped → removed
+      (4L, (None: Option[String])),     // null both sides → unchanged
+      (5L, Some("kept verbatim")),
+      (6L, Some("fresh"))).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Dedup.versionManifest(df, "doc_id", "text")
+    val got = Dedup.versionDiff(m(v1), m(v2), "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got === Map(2L -> "changed", 3L -> "removed", 6L -> "added"),
+      s"got $got")
+    val summary = Dedup.versionDiffSummary(m(v1), m(v2), "doc_id")
+      .collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("docs")).toMap
+    assert(summary === Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 3L), s"got $summary")
+  }
+
+  test("versionDiff reads manifests only — no text scan in the diff plan") {
+    // the contract: a snapshot diff must run from the persisted manifests
+    // without re-reading either corpus version
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val m1 = Dedup.versionManifest(docs, "doc_id", "text").localCheckpoint()
+    val m2 = Dedup.versionManifest(
+      docs.where(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      .localCheckpoint()
+    val plan = Dedup.versionDiff(m1, m2, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan") && !plan.contains("documents.parquet"),
+      s"diff plan re-reads a corpus:\n$plan")
+    assert(!plan.toLowerCase.contains("text"),
+      s"text column in the diff plan:\n$plan")
+  }
+
+  test("semantic decontamination flags a paraphrase-level cosine match " +
+      "that shares no n-grams") {
+    import graft.vector.Similarity
+    // corpus vec 1 ≈ bench vec 100 (small perturbation, cos ≈ 0.999);
+    // corpus vec 2 is orthogonal-ish. Text n-grams are irrelevant here —
+    // the whole point is the vector space.
+    def unit(xs: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(_ / n)
+    }
+    val v1 = unit(Seq.tabulate(64)(i => math.sin(i + 1.0)))
+    val v1p = unit(Seq.tabulate(64)(i => math.sin(i + 1.0) + 0.02))
+    val v2 = unit(Seq.tabulate(64)(i => math.cos(3.0 * i + 0.5)))
+    val corpus = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val bench = Seq((100L, v1p)).toDF("bench_id", "embedding")
+    val got = Dedup.decontaminateSemantic(corpus, "vec_id", "embedding",
+      bench, "bench_id", "embedding", dim = 64, cosThreshold = 0.95)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("bench_id"), r.getAs[Double]("cosine")))
+    assert(got.length === 1)
+    assert(got.head._1 === 1L && got.head._2 === 100L)
+    assert(got.head._3 > 0.99)
+  }
+
+  test("semantic decontamination: corpus never shuffles — the benchmark " +
+      "probe is a broadcast join, pairs-only exchange") {
+    import graft.vector.Similarity
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .repartition(4).localCheckpoint()
+    val bench = corpus.where(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("bench_id"), col("embedding"))
+      .localCheckpoint()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = Dedup.decontaminateSemantic(corpus, "vec_id", "embedding",
+        bench, "bench_id", "embedding", dim = 64, cosThreshold = 0.9)
+        .queryExecution
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      val shuffles = qe.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      // exactly one exchange: the final over-threshold pair dedup; its
+      // rows carry no vector column
+      assert(shuffles.length === 1, qe.executedPlan.toString)
+      assert(!shuffles.head.output.exists(_.name.contains("_v")),
+        s"vector column in the pair exchange: ${shuffles.head.output}")
+      assert(qe.executedPlan.collectFirst {
+        case j: BroadcastHashJoinExec => j
+      }.isDefined, "benchmark probe is not a broadcast join")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("span dedup: first-occurrence rule is an aggregate, not a window; " +
       "shingle strings never enter the repeated-key exchange") {
     // same skew-safety discipline as line dedup: a boilerplate span
