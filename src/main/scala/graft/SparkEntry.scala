@@ -1579,7 +1579,71 @@ object SparkEntry {
         Dedup.versionManifest(docs, "doc_id", "text"),
         Dedup.versionManifest(v2, "doc_id", "text"), "doc_id")
     }),
+
+    // Audio repair pipeline (round 8) — the EXECUTION step the planning
+    // censuses (q59 trim / q66 resample / q72 gain) only report on: per
+    // clip, decode at the container rate, trim endpoint silence, gate on
+    // post-trim quality (clipping / mid-clip silence / DC bias have no
+    // repair stage here), resample to 16 kHz, gain to −20 dBFS unless the
+    // peak would cross the rail — or drop the row with a named reason.
+    // ONE decode UDF per row, scan-local; the only exchange is the
+    // (codec, action, count) census. Plants by id residue (forced pcm
+    // container): %5000=37 padded → trimmed+repaired, =41 all-silence →
+    // dropped, =53 impulse → would_clip, =61 quiet → gained cleanly,
+    // =27 flat-top → clipped. Corrupt rows (m=17): flac fails decode,
+    // µ-law rails clip, A-law zeros decode to a DC-heavy comb → dc_bias,
+    // pcm repairs. The one content-bistable class — corrupt adpcm_ima,
+    // whose post-trim DC ratio straddles the census threshold depending
+    // on the id-derived tone (RepairSweep measured BOTH actions across
+    // 400 ids) — is excluded from the input, keeping every remaining
+    // (m, codec) cell a pure arithmetic prediction for the oracle.
+    "q77_repair_census" -> ((s, dir) =>
+      graft.audio.AudioRepair.actionCensus(repairInput(s, dir))),
+
+    // Post-repair verification (round 8) — the censuses that PLANNED the
+    // repair re-run on the repair's OUTPUT: every surviving row must land
+    // quality=nominal, gain=normalize_ok, container=ok (the repaired
+    // table is materialized once and re-censused from its actual PCM
+    // bytes — the claim is earned from the output payload, not assumed
+    // from the repair's bookkeeping). The oracle predicts the survivor
+    // count by the same id arithmetic as q77 and pins all three bands.
+    "q78_repair_verify" -> ((s, dir) => {
+      import graft.validate.{ContainerCheck, GainCheck, QualityCensus}
+      val repaired = graft.audio.AudioRepair
+        .repairedTable(repairInput(s, dir)).localCheckpoint()
+      QualityCensus.census(repaired).withColumn("census", lit("quality"))
+        .unionByName(
+          GainCheck.census(repaired).withColumn("census", lit("gain")))
+        .unionByName(
+          ContainerCheck.census(repaired).withColumn("census", lit("container")))
+        .select("census", "codec", "band", "clips")
+    }),
   )
+
+  /** The q77/q78 input: the error-injected clips table with the five
+    * repair plant classes forced onto pcm containers, minus the one
+    * content-bistable (m, codec) cell — see the q77 comment. */
+  private def repairInput(s: SparkSession, dir: String): DataFrame = {
+    val clips = OracleTables.clips(s, clipCount(dir))
+    val id = expr("CAST(substring(clip_id, 6, 12) AS BIGINT)")
+    val padU = udf((i: Long) => graft.io.ClipsGenerator.paddedBytes(i, 25, 15, 20))
+    val silU = udf((i: Long) => graft.io.ClipsGenerator.silentBytes(i, 25))
+    val impU = udf((i: Long) => graft.io.ClipsGenerator.impulseBytes(i, 25))
+    val quiU = udf((i: Long) => graft.io.ClipsGenerator.quietBytes(i, 25))
+    val clpU = udf((i: Long) => graft.io.ClipsGenerator.clippedBytes(i, 25))
+    clips
+      .where(!(id % 5000 === 17 && col("codec") === "adpcm_ima"))
+      .withColumn("bytes",
+        when(id % 5000 === 37, padU(id))
+          .when(id % 5000 === 41, silU(id))
+          .when(id % 5000 === 53, impU(id))
+          .when(id % 5000 === 61, quiU(id))
+          .when(id % 5000 === 27, clpU(id))
+          .otherwise(col("bytes")))
+      .withColumn("codec",
+        when((id % 5000).isin(37L, 41L, 53L, 61L, 27L), lit("pcm_s16le"))
+          .otherwise(col("codec")))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (q24: the
@@ -3091,6 +3155,59 @@ object SparkEntry {
         |FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id
         |WHERE m1.doc_id IS NULL OR m2.doc_id IS NULL
         |   OR m1.fp IS DISTINCT FROM m2.fp""".stripMargin,
+
+    // every repair action a pure function of (id arithmetic, container
+    // codec) once the bistable corrupt-adpcm cell is excluded — the
+    // RepairSweep-measured map: plants 41/53/27 drop (all-silence /
+    // would-clip / clipped), 37/61 repair (trim / gain), corrupt flac
+    // fails decode, corrupt µ-law rails clip, corrupt A-law zeros decode
+    // to a DC comb; everything else (clean rows of all five codecs,
+    // lying-sr rows, duplicate-id rows) repairs. Spark earns each cell by
+    // decoding, trimming, gating, resampling, and gain-checking per row.
+    "q77_repair_census" ->
+      s"""SELECT codec,
+         |  CASE WHEN m = 41 THEN 'drop_all_silence'
+         |       WHEN m = 53 THEN 'drop_would_clip'
+         |       WHEN m = 27 THEN 'drop_clipped'
+         |       WHEN m IN (37, 61) THEN 'repaired'
+         |       WHEN m = 17 AND codec0 = 'flac' THEN 'drop_undecodable'
+         |       WHEN m = 17 AND codec0 = 'pcm_mulaw' THEN 'drop_clipped'
+         |       WHEN m = 17 AND codec0 = 'pcm_alaw' THEN 'drop_dc_bias'
+         |       ELSE 'repaired' END AS action,
+         |  COUNT(*) AS clips
+         |FROM (SELECT
+         |    CASE WHEN CAST(substr(clip_id, 6) AS BIGINT) % 5000
+         |      IN (37, 41, 53, 61, 27) THEN 'pcm_s16le' ELSE codec END AS codec,
+         |    codec AS codec0,
+         |    CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
+         |  FROM $clips)
+         |WHERE NOT (m = 17 AND codec0 = 'adpcm_ima')
+         |GROUP BY codec, action""".stripMargin,
+
+    // the survivor count is the same arithmetic as q77's 'repaired'
+    // bucket; all three post-repair censuses must land every survivor in
+    // the clean band on the repaired PCM payload
+    "q78_repair_verify" ->
+      s"""WITH acts AS (SELECT
+         |    CASE WHEN m = 41 THEN 'drop_all_silence'
+         |         WHEN m = 53 THEN 'drop_would_clip'
+         |         WHEN m = 27 THEN 'drop_clipped'
+         |         WHEN m IN (37, 61) THEN 'repaired'
+         |         WHEN m = 17 AND codec0 = 'flac' THEN 'drop_undecodable'
+         |         WHEN m = 17 AND codec0 = 'pcm_mulaw' THEN 'drop_clipped'
+         |         WHEN m = 17 AND codec0 = 'pcm_alaw' THEN 'drop_dc_bias'
+         |         ELSE 'repaired' END AS action
+         |  FROM (SELECT codec AS codec0,
+         |          CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
+         |        FROM $clips)
+         |  WHERE NOT (m = 17 AND codec0 = 'adpcm_ima')),
+         |s AS (SELECT COUNT(*) AS n FROM acts WHERE action = 'repaired')
+         |SELECT 'quality' AS census, 'pcm_s16le' AS codec,
+         |  'nominal' AS band, n AS clips FROM s
+         |UNION ALL
+         |SELECT 'gain', 'pcm_s16le', 'normalize_ok', n FROM s
+         |UNION ALL
+         |SELECT 'container', 'pcm_s16le', 'ok', n FROM s""".stripMargin,
     )
   }
 }
