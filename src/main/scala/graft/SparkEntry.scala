@@ -1580,6 +1580,103 @@ object SparkEntry {
         Dedup.versionManifest(v2, "doc_id", "text"), "doc_id")
     }),
 
+    // N-gram LM perplexity scoring (round 8) — the CCNet/Gopher quality
+    // signal: a bigram+Laplace model trained on the deterministic q48
+    // train split (md5 band arithmetic), every doc scored by its Shannon
+    // code length in WHOLE BITS — floor(log2(den/num)) per bigram done in
+    // pure integer arithmetic (integer divide + binary-string length), so
+    // no engine `ln` ever runs and the per-doc (ngrams, bits) pair
+    // replays bit-for-bit in DuckDB. Plants: %23==4 docs become
+    // doc_id-salted gibberish (every bigram context unseen → exactly
+    // floor(log2 V) bits/ngram — 7 at sf0.01's V=232, 10 at sf0.1's
+    // V=1912), %29==6 docs become a fixed thrice-repeated cookie banner
+    // that saturates the train slice (≈2.3-2.5 bits/ngram). Measured
+    // normal band: [4.6, 5.8] bits/ngram at both scales, so lo=3 / hi=7
+    // sit in the gaps (NgramProbe, 2026-08-18).
+    "q79_ngram_perplexity" -> ((s, dir) => {
+      import graft.text.NgramLm
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val sent = "click here to accept cookies and continue to the site"
+      val gib = array_join(transform(sequence(lit(0), lit(11)),
+        k => concat(lit("zzq"), ((col("doc_id") * 7 + k) % 9999))), " ")
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 23 === 4, gib)
+          .when(col("doc_id") % 29 === 6, lit(s"$sent $sent $sent"))
+          .otherwise(col("text")))
+      val train = graft.sample.Sampling.assignSplits(planted, "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .where(col("split") === "train").select("doc_id", "text")
+      val model = NgramLm.train(train, "text", minCount = 2L)
+      NgramLm.score(planted, "doc_id", "text", model, loBits = 3L,
+        hiBits = 7L)
+    }),
+
+    // Multi-batch out-of-order streaming replay (round 8) — the watermark
+    // gate the single-batch AvailableNow monitors can't exercise: events
+    // replay as SIX micro-batches (one file per batch, mtime-pinned
+    // order), with two planted late classes — %13==11 rows arrive 25 min
+    // stale (dropped by the watermark once batches 2-3 have advanced it;
+    // kept-but-old in batches 0-1 where no watermark exists yet) and
+    // %17==3 rows 8 min stale (inside the horizon — always accepted,
+    // proving out-of-order merge into live windows). Two trailing flush
+    // batches finalize every real window under append mode. The oracle
+    // replays the MEASURED Spark semantics (LateReplaySpec pins them):
+    // lagged late-filter watermark = max event over batches ≤ b−2 minus
+    // the 5-minute delay, drop iff window end ≤ that; it predicts every
+    // finalized (window, key) count AND the dropped late-GROUP total
+    // (Spark's aggregation drop metric counts post-shuffle partial
+    // aggregates — distinct late (window, key) groups per batch).
+    "q81_streaming_late_replay" -> ((s, dir) => {
+      import graft.streaming.LateReplay
+      val i = col("event_id")
+      val minute = (i % 4) * 10 + (i % 7) +
+        when(i % 13 === 11, -25).when(i % 17 === 3, -8).otherwise(0)
+      val data = tbl(s, dir, "events").where(i.isNotNull).select(
+        (i % 4).as("batch"),
+        concat(lit("u"), (i % 5)).as("k"),
+        timestamp_seconds(minute.cast("long") * 60 + 30 + 1767268800L)
+          .as("ts"))
+      val flush = s.range(2).select((col("id") + 4).as("batch"),
+        lit("flush").as("k"),
+        timestamp_seconds((lit(120) + col("id") * 5) * 60 + 30 + 1767268800L)
+          .as("ts"))
+      val replayDir = java.nio.file.Files
+        .createTempDirectory("graft-latereplay").toString
+      LateReplay.writeBatches(data.unionByName(flush), "batch", "k", "ts",
+        replayDir)
+      LateReplay.windowCounts(s, replayDir, "1 minute", "5 minutes")
+        .where(col("kind") =!= "window" || col("k") =!= "flush")
+    }),
+
+    // BPE subword packing (round 8) — the token-budget operators re-driven
+    // on REAL subword counts: q62/q63/q69 budget whitespace tokens, but a
+    // training run budgets SUBWORDS, and the two diverge exactly on
+    // unseen/compound words (the %31==9 plant appends three compound
+    // words built from corpus vocabulary — each splits into multiple
+    // subwords, so whitespace counts +3 while subword counts grow more).
+    // The BPE model trains LIVE on the deterministic doc_id%4<3 slice
+    // (classic merge loop, deterministic tie-break, driver-side over the
+    // bounded distinct-word table); the oracle tokenizes with the
+    // COMMITTED vocabulary for this scale (BpeTrainHarness output, pinned
+    // live-equal by BpeTokenizerSpec) via a recursive longest-prefix
+    // strip over DISTINCT words, then replays q62's packing window.
+    "q80_subword_packing" -> ((s, dir) => {
+      import graft.text.BpeTokenizer
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 31 === 9,
+          concat(col("text"), lit(" tablescan mergejoin fastsort")))
+          .otherwise(col("text")))
+      val train = docs.where(col("doc_id") % 4 < 3)
+      val freqs = BpeTokenizer.wordFreqs(train, "text")
+      val voc = BpeTokenizer.vocab(freqs,
+        BpeTokenizer.trainMerges(freqs, numMerges = 60))
+      val counts = BpeTokenizer.subwordCounts(planted, "doc_id", "text", voc)
+      graft.sample.SequencePacking
+        .packReport(counts, "doc_id", "subword_tokens", chunkTokens = 2048L)
+        .withColumn("crosses_chunk", col("crosses_chunk").cast("long"))
+    }),
+
     // Audio repair pipeline (round 8) — the EXECUTION step the planning
     // censuses (q59 trim / q66 resample / q72 gain) only report on: per
     // clip, decode at the container rate, trim endpoint silence, gate on
@@ -1651,6 +1748,49 @@ object SparkEntry {
     * binds the clips-table paths for that scale; Verify dumps
     * [[oracleSqlFor]] the actual sf dir it was invoked with. */
   def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  /** q80's committed per-scale BPE vocabularies — `BpeTrainHarness`
+    * output (doc_id%4<3 slice, 60 merges; the corpora differ per scale,
+    * so each scale trains its own), pinned live-equal by
+    * `BpeTokenizerSpec` so they stay honest training outputs. */
+  private val BpeVocabSf0001: Seq[String] = Seq(
+    "a", "ag", "agg", "alu", "alue", "am", "an", "ar", "as", "ash",
+    "ast", "at", "b", "c", "can", "co", "colu", "colum", "column", "ct",
+    "ctor", "d", "der", "dow", "e", "eam", "ector", "er", "ery", "ey",
+    "f", "fast", "fi", "fil", "filt", "filter", "g", "ge", "gr", "h",
+    "hash", "i", "in", "indow", "ine", "j", "jo", "join", "k", "key",
+    "l", "line", "lu", "m", "mer", "merge", "n", "o", "or", "order",
+    "ort", "ow", "p", "par", "part", "q", "qu", "query", "r", "ream",
+    "s", "scan", "sort", "st", "stream", "t", "u", "up", "v", "value",
+    "vector", "w", "window", "y")
+
+  private val BpeVocabSf001: Seq[String] = Seq(
+    "a", "ab", "abl", "able", "al", "all", "alu", "alue", "an", "ar",
+    "as", "ash", "ast", "at", "ata", "atc", "atch", "b", "batch", "c",
+    "can", "co", "colu", "colum", "column", "cu", "cust", "custo", "customer", "d",
+    "data", "der", "e", "er", "f", "fast", "fi", "fil", "filt", "filter",
+    "g", "ge", "gr", "gro", "h", "hash", "i", "in", "ine", "j",
+    "jo", "join", "k", "l", "line", "low", "lu", "m", "mall", "mer",
+    "merge", "n", "o", "or", "order", "ow", "p", "par", "q", "r",
+    "row", "s", "scan", "slow", "small", "st", "t", "table", "u", "up",
+    "v", "value", "w", "y")
+
+  private val BpeVocabSf01: Seq[String] = Seq(
+    "a", "al", "all", "alu", "alue", "am", "ar", "as", "ash", "ata",
+    "b", "bl", "ble", "c", "co", "colu", "colum", "column", "ct", "ctor",
+    "cu", "cust", "custo", "customer", "d", "data", "dow", "e", "eam", "ector",
+    "er", "f", "fi", "fil", "filt", "filter", "g", "ge", "h", "hash",
+    "he", "i", "in", "indow", "ine", "j", "jo", "join", "k", "l",
+    "line", "lu", "m", "mall", "mer", "merge", "n", "o", "or", "ow",
+    "p", "par", "park", "part", "q", "r", "ream", "s", "small", "spark",
+    "st", "stream", "t", "ta", "table", "the", "u", "up", "v", "value",
+    "vector", "w", "window", "y")
+
+  /** The committed q80 vocabulary for a testdata scale dir. */
+  def bpeVocabFor(sfDir: String): Seq[String] =
+    if (sfDir.contains("sf0.1")) BpeVocabSf01
+    else if (sfDir.contains("sf0.01")) BpeVocabSf001
+    else BpeVocabSf0001
 
   def oracleSqlFor(sfDir: String): Map[String, String] = {
     val n = clipCount(sfDir)
@@ -3155,6 +3295,164 @@ object SparkEntry {
         |FROM m1 FULL OUTER JOIN m2 ON m1.doc_id = m2.doc_id
         |WHERE m1.doc_id IS NULL OR m2.doc_id IS NULL
         |   OR m1.fp IS DISTINCT FROM m2.fp""".stripMargin,
+
+    // the full model replayed: identical plants, identical md5 train
+    // band, identical bigram/context counts with minCount=2 pruning,
+    // identical integer Shannon-bits arithmetic (length(bin(q))-1 is
+    // DuckDB's exact floor-log2 twin of Spark's length(conv(q,10,2))-1)
+    "q79_ngram_perplexity" -> {
+      val sent = "click here to accept cookies and continue to the site"
+      s"""WITH planted AS (
+         | SELECT doc_id,
+         |   CASE WHEN doc_id % 23 = 4 THEN array_to_string(
+         |          list_transform(generate_series(0, 11),
+         |            k -> 'zzq' || CAST((doc_id * 7 + k) % 9999 AS VARCHAR)),
+         |          ' ')
+         |        WHEN doc_id % 29 = 6 THEN '$sent $sent $sent'
+         |        ELSE text END AS text
+         | FROM documents),
+         |train AS (
+         | SELECT doc_id, text FROM planted
+         | WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
+         |     || ':split'), 1, 15)) AS BIGINT)
+         |   / 1152921504606846976.0 < 0.75),
+         |tbi AS (
+         | SELECT toks[i] AS w1, toks[i + 1] AS w2
+         | FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |       FROM (SELECT str_split(text, ' ') AS toks FROM train)
+         |       WHERE len(toks) >= 2)),
+         |big AS (SELECT w1, w2, COUNT(*) AS c FROM tbi
+         |        GROUP BY w1, w2 HAVING COUNT(*) >= 2),
+         |ctx AS (SELECT w1, COUNT(*) AS c FROM tbi
+         |        GROUP BY w1 HAVING COUNT(*) >= 2),
+         |voc AS (SELECT COUNT(DISTINCT w) AS v FROM
+         |        (SELECT unnest(str_split(text, ' ')) AS w FROM train)),
+         |sbi AS (
+         | SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         | FROM (SELECT doc_id, toks,
+         |         unnest(generate_series(1, len(toks) - 1)) AS i
+         |       FROM (SELECT doc_id, str_split(text, ' ') AS toks
+         |             FROM planted)
+         |       WHERE len(toks) >= 2)),
+         |sc AS (
+         | SELECT s.doc_id,
+         |   length(bin((COALESCE(x.c, 0) + voc.v)
+         |     // (COALESCE(b.c, 0) + 1))) - 1 AS bits,
+         |   CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS oov
+         | FROM sbi s
+         | LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+         | LEFT JOIN ctx x ON s.w1 = x.w1
+         | CROSS JOIN voc),
+         |agg AS (SELECT doc_id, COUNT(*) AS ngrams,
+         |          CAST(SUM(bits) AS BIGINT) AS bits,
+         |          CAST(SUM(oov) AS BIGINT) AS oov_ngrams
+         |        FROM sc GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  COALESCE(a.ngrams, 0) AS ngrams,
+         |  COALESCE(a.bits, 0) AS bits,
+         |  COALESCE(a.oov_ngrams, 0) AS oov_ngrams,
+         |  CASE WHEN COALESCE(a.ngrams, 0) = 0 THEN 'unscorable'
+         |       WHEN a.bits >= a.ngrams * 7 THEN 'high_perplexity'
+         |       WHEN a.bits <= a.ngrams * 3 THEN 'low_perplexity'
+         |       ELSE 'mid' END AS band
+         |FROM planted p LEFT JOIN agg a ON p.doc_id = a.doc_id""".stripMargin
+    },
+
+    // the measured watermark state machine replayed in SQL: per-batch
+    // event maxima, the one-batch-LAGGED late-filter watermark (max over
+    // batches ≤ b−2, minus the delay — NULL for batches 0-1, where
+    // nothing can drop), drop iff window end ≤ it, finalized counts over
+    // the survivors plus the dropped total. Event times are engineered
+    // so a window end (:00) never equals a watermark (:30 − 5 min) — the
+    // ≤-vs-< comparator ambiguity cannot bite.
+    "q81_streaming_late_replay" ->
+      """WITH rows0 AS (
+        | SELECT event_id % 4 AS batch,
+        |   'u' || CAST(event_id % 5 AS VARCHAR) AS k,
+        |   1767268800 + ((event_id % 4) * 10 + (event_id % 7)
+        |     + CASE WHEN event_id % 13 = 11 THEN -25
+        |            WHEN event_id % 17 = 3 THEN -8 ELSE 0 END) * 60 + 30
+        |     AS sec
+        | FROM events WHERE event_id IS NOT NULL
+        | UNION ALL SELECT 4, 'flush', 1767268800 + 120 * 60 + 30
+        | UNION ALL SELECT 5, 'flush', 1767268800 + 125 * 60 + 30
+        |),
+        |bmax AS (SELECT batch, MAX(sec) AS mx FROM rows0 GROUP BY batch),
+        |wm AS (SELECT batch,
+        |         MAX(mx) OVER (ORDER BY batch
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 300
+        |           AS lag_wm
+        |       FROM bmax),
+        |flagged AS (
+        | SELECT r.batch, r.k, (r.sec // 60) * 60 AS ws,
+        |   CASE WHEN w.lag_wm IS NOT NULL
+        |     AND ((r.sec // 60) + 1) * 60 <= w.lag_wm
+        |     THEN 1 ELSE 0 END AS dropped
+        | FROM rows0 r JOIN wm w ON r.batch = w.batch)
+        |SELECT 'window' AS kind, k,
+        |  strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+        |    AS window_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM flagged WHERE dropped = 0 AND k <> 'flush'
+        |GROUP BY k, ws
+        |UNION ALL
+        |SELECT 'late_dropped_groups', NULL, NULL,
+        |  CAST(COUNT(*) AS BIGINT)
+        |FROM (SELECT DISTINCT batch, k, ws FROM flagged WHERE dropped = 1)
+        |""".stripMargin,
+
+    // identical plant, then tokenization replayed with the committed
+    // vocabulary: recursive greedy longest-prefix strip over the DISTINCT
+    // words (the word vocabulary is tiny, so the recursion runs hundreds
+    // of steps, not corpus-size), single-char fallback for unseen
+    // characters, counts joined back to the doc word stream, then q62's
+    // exact packing window on the subword totals
+    "q80_subword_packing" -> {
+      val vocList = bpeVocabFor(sfDir)
+        .map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+      s"""WITH RECURSIVE
+         |voc(tok) AS (SELECT unnest([$vocList])),
+         |planted AS (
+         | SELECT doc_id,
+         |   CASE WHEN doc_id % 31 = 9
+         |     THEN text || ' tablescan mergejoin fastsort'
+         |     ELSE text END AS text
+         | FROM documents),
+         |w(word) AS (
+         | SELECT DISTINCT unnest(str_split(text, ' '))
+         | FROM planted WHERE text IS NOT NULL),
+         |tk(word, rest, n) AS (
+         | SELECT word, word, 0 FROM w
+         | UNION ALL
+         | SELECT word, substr(rest, length(best) + 1), n + 1
+         | FROM (
+         |   SELECT word, rest, n,
+         |     COALESCE((SELECT tok FROM voc WHERE starts_with(rest, tok)
+         |               ORDER BY length(tok) DESC, tok LIMIT 1),
+         |              substr(rest, 1, 1)) AS best
+         |   FROM tk WHERE rest <> '')),
+         |wn AS (SELECT word, MAX(n) AS toks FROM tk GROUP BY word),
+         |ws AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+         |       FROM planted WHERE text IS NOT NULL),
+         |dc AS (SELECT ws.doc_id,
+         |         CAST(SUM(wn.toks) AS BIGINT) AS subword_tokens
+         |       FROM ws JOIN wn ON ws.word = wn.word GROUP BY ws.doc_id),
+         |o AS (
+         | SELECT p.doc_id,
+         |   COALESCE(dc.subword_tokens, 0) AS subword_tokens,
+         |   CAST(COALESCE(SUM(COALESCE(dc.subword_tokens, 0))
+         |     OVER (ORDER BY p.doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |     0) AS BIGINT) AS token_offset
+         | FROM planted p LEFT JOIN dc ON p.doc_id = dc.doc_id)
+         |SELECT doc_id, subword_tokens, token_offset,
+         |  token_offset // 2048 AS chunk_first,
+         |  (token_offset + GREATEST(subword_tokens, 1) - 1) // 2048
+         |    AS chunk_last,
+         |  CAST((token_offset + GREATEST(subword_tokens, 1) - 1) // 2048
+         |    > token_offset // 2048 AS BIGINT) AS crosses_chunk
+         |FROM o""".stripMargin
+    },
 
     // every repair action a pure function of (id arithmetic, container
     // codec) once the bistable corrupt-adpcm cell is excluded — the

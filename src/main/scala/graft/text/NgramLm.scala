@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** From-scratch n-gram language-model perplexity scoring — the CCNet /
+  * Gopher quality signal the published pipelines rank documents by
+  * (reference has no analog; `validate_data`'s closest concern is
+  * row-level constraint checks, `polars/model.py:439-456`). A bigram
+  * model with add-one (Laplace) smoothing is trained on a deterministic
+  * clean slice, then every document is scored by how surprising its
+  * bigrams are under that model; gibberish scores high, boilerplate that
+  * saturates the training slice scores low.
+  *
+  * **Exact-arithmetic scoring.** Engine `ln`/`log2` functions are not
+  * bit-portable across engines (the round-5 categorical-drift lesson), so
+  * the score is the SHANNON CODE LENGTH in whole bits, computed entirely
+  * in integer arithmetic: for each bigram, with
+  * `num = count(w1,w2) + 1` and `den = count(w1,·) + V`
+  * (so p = num/den and den ≥ num always),
+  *
+  *   bits = floor(log2(den / num)) = length(binaryString(den DIV num)) - 1
+  *
+  * — exact because for integers `floor(log2(d/n)) = floor(log2(d DIV n))`
+  * (a power of two crosses d/n iff it crosses its integer quotient).
+  * Spark computes it as `length(conv(q, 10, 2)) - 1`, DuckDB as
+  * `length(bin(q)) - 1`; both are pure integer/string ops, so a per-doc
+  * `(ngrams, bits)` pair replays bit-for-bit in any engine — no float
+  * ever enters the score. Banding compares `bits` against
+  * `ngrams × threshold` in integers, so band edges are exact too.
+  *
+  * Scale shape (100 TB): training aggregates the train slice's bigram
+  * stream to `(w1, w2, count)` / `(w1, count)` tables — partial
+  * aggregation collapses hot bigrams map-side, and `minCount` pruning
+  * bounds the table Zipf-style (pruned bigrams fall back to the unseen
+  * path; a context prunes only when all its bigrams did, since
+  * ctx ≥ bigram at equal thresholds). Scoring explodes each doc to
+  * `(id, w1, w2)` — the text column never shuffles — joins the
+  * (broadcast) count tables, and folds back to one row per doc. The
+  * vocabulary size is a single driver scalar (the trainCentroids
+  * discipline).
+  */
+object NgramLm {
+
+  /** Trained model: bigram counts, context (first-position) counts, and
+    * the train vocabulary size used as the smoothing denominator. */
+  final case class NgramModel(bigrams: DataFrame, contexts: DataFrame,
+      vocab: Long)
+
+  /** Whitespace bigrams of `textCol` as exploded (w1, w2) rows. */
+  private def bigramStream(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = greatest(size(toks) - 1, lit(0))
+    val pairs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    df.select(explode(pairs).as("bg")).select(col("bg.w1"), col("bg.w2"))
+  }
+
+  /** Train on `docs` (pass the clean slice — e.g. the `assignSplits`
+    * train band). `minCount` prunes bigrams AND contexts seen fewer
+    * times, bounding the model at corpus scale. */
+  def train(docs: DataFrame, textCol: String, minCount: Long = 1L): NgramModel = {
+    val stream = bigramStream(docs, textCol)
+    val bigrams = stream.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c")).where(col("c") >= minCount)
+    val contexts = stream.groupBy("w1")
+      .agg(count(lit(1)).as("c")).where(col("c") >= minCount)
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    NgramModel(bigrams, contexts, vocab)
+  }
+
+  /** Score every doc: `(idCol, ngrams, bits, oov_ngrams, band)`.
+    * `ngrams` = bigrams scored, `bits` = total Shannon code length,
+    * `oov_ngrams` = bigrams unseen in training. Bands (integer-exact):
+    * `unscorable` (no bigrams — empty, single-token, or NULL text),
+    * `low_perplexity` (bits ≤ ngrams × loBits — boilerplate-like),
+    * `high_perplexity` (bits ≥ ngrams × hiBits — gibberish-like),
+    * `mid` otherwise. */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+      model: NgramModel, loBits: Long, hiBits: Long): DataFrame = {
+    val perDoc = {
+      val toks = split(col(textCol), " ")
+      val n = greatest(size(toks) - 1, lit(0))
+      val pairs = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+      docs.select(col(idCol), explode(pairs).as("bg"))
+        .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .join(broadcast(model.bigrams.withColumnRenamed("c", "_bc")),
+          Seq("w1", "w2"), "left_outer")
+        .join(broadcast(model.contexts.withColumnRenamed("c", "_cc")),
+          Seq("w1"), "left_outer")
+        .withColumn("_num", coalesce(col("_bc"), lit(0L)) + 1L)
+        .withColumn("_den", coalesce(col("_cc"), lit(0L)) + model.vocab)
+        // den ≥ num always (ctx ≥ bigram count, vocab ≥ 1), so the
+        // quotient is ≥ 1 and its binary length is the exact floor-log2
+        .withColumn("_bits",
+          (length(conv(expr("_den DIV _num"), 10, 2)) - 1).cast("long"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("ngrams"), sum(col("_bits")).as("bits"),
+          sum(when(col("_bc").isNull, 1L).otherwise(0L)).as("oov_ngrams"))
+    }
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("ngrams"), lit(0L)).as("ngrams"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        coalesce(col("oov_ngrams"), lit(0L)).as("oov_ngrams"))
+      .withColumn("band",
+        when(col("ngrams") === 0L, "unscorable")
+          .when(col("bits") >= col("ngrams") * hiBits, "high_perplexity")
+          .when(col("bits") <= col("ngrams") * loBits, "low_perplexity")
+          .otherwise("mid"))
+  }
+}
