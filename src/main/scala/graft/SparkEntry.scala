@@ -1677,6 +1677,83 @@ object SparkEntry {
         .withColumn("crosses_chunk", col("crosses_chunk").cast("long"))
     }),
 
+    // Audio CONTENT dedup (round 8) — the audio twin of exact text dedup,
+    // which no byte- or id-level check can see: the same recording
+    // re-encoded through another codec/container/rate shares no bytes
+    // with its twin. Each clip maps to a codec-invariant fingerprint
+    // (dominant tone rounded to integer Hz + duration bin; estimator
+    // error exhaustively measured ≤ 0.21 Hz over the full structural
+    // space, a 2.4× margin under the 0.5 Hz rounding boundary), then
+    // duplicate clusters are a keys-only groupBy. The corpus's tones
+    // repeat every 880 ids across five codecs and four rates, so the
+    // clusters are inherently cross-codec — exactly the class a byte
+    // hash misses. Exclusions, both id-arithmetic and documented:
+    // corrupt rows (m=17 — content identity is undefined for a
+    // half-zeroed payload; q40/q65's concern) and the (adpcm_ima, 8 kHz)
+    // cell, where 200 samples of a ~12 dB codec sit at the CRLB for
+    // 1 Hz tone separation — physics, not estimator choice (sweep
+    // measured 0.56-0.70 Hz there across three estimator variants).
+    // Duplicate-id rows resolve their TRUE generating index via the
+    // dur_ms-mismatch rule (the q25/q26 discipline), so the oracle
+    // predicts every cluster by id arithmetic while Spark earns it from
+    // the bytes: five decoders + FFT per row.
+    "q83_audio_content_dedup" -> ((s, dir) => {
+      val clips = OracleTables.clips(s, clipCount(dir))
+      val id = expr("CAST(substring(clip_id, 6, 12) AS BIGINT)")
+      val trueI = when(
+        col("dur_ms") =!= (lit(200) + (id * 37) % 9800).cast("int"), id + 1)
+        .otherwise(id)
+      val srTrue = when(trueI % 10 < 6, lit(16000)).otherwise(
+        element_at(array(lit(8000), lit(22050), lit(44100), lit(48000)),
+          ((trueI / 10) % 4).cast("int") + 1))
+      val base = clips
+        .where(id % 5000 =!= 17)
+        .where(!(col("codec") === "adpcm_ima" && srTrue === 8000))
+      graft.audio.ContentFingerprint.dedupReport(base)
+    }),
+
+    // Subword-budget mixture (round 8) — the full planning→execution loop
+    // on REAL token counts: tokenize (q80's live-trained BPE), aggregate
+    // per-source subword totals, SOLVE the per-source rates for a token
+    // budget of half the corpus at dyadic target proportions
+    // (ratesForBudget — clamped at 16× repetition), then execute the
+    // deterministic resample and report per-source rows/tokens in and
+    // out. Dyadic proportions make every rate an exactly-reproducible
+    // double (budget·p is a dyadic scaling; one correctly-rounded divide
+    // by the token count), so the md5 survival compare replays
+    // bit-for-bit in the oracle.
+    "q82_subword_budget_mix" -> ((s, dir) => {
+      import graft.sample.Mixing
+      import graft.text.BpeTokenizer
+      val docs = tbl(s, dir, "documents").select("doc_id", "source", "text")
+      val train = docs.where(col("doc_id") % 4 < 3)
+      val freqs = BpeTokenizer.wordFreqs(train, "text")
+      val voc = BpeTokenizer.vocab(freqs,
+        BpeTokenizer.trainMerges(freqs, numMerges = 60))
+      // tokenize ONCE; budget aggregate, per-source report, and resample
+      // all read the materialized (id, tokens, source) frame
+      val counts = BpeTokenizer.subwordCounts(docs, "doc_id", "text", voc)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .localCheckpoint()
+      val budget = counts.agg(sum("subword_tokens")).head().getLong(0) / 2
+      val props = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125,
+        "src3" -> 0.125)
+      val perSrc = counts.groupBy("source").agg(
+        count(lit(1)).as("in_rows"), sum("subword_tokens").as("in_tokens"))
+      val tokens = perSrc.collect() // O(sources) driver
+        .flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(2))).toMap
+        .filter(kv => props.contains(kv._1))
+      val (rates, _) = Mixing.ratesForBudget(tokens, props, budget)
+      val out = Mixing.resample(counts, "doc_id", "source", rates,
+        defaultRate = 0.0)
+        .groupBy("source").agg(count(lit(1)).as("out_rows"),
+          sum("subword_tokens").as("out_tokens"))
+      perSrc.join(out, Seq("source"), "left_outer")
+        .select(col("source"), col("in_rows"), col("in_tokens"),
+          coalesce(col("out_rows"), lit(0L)).as("out_rows"),
+          coalesce(col("out_tokens"), lit(0L)).as("out_tokens"))
+    }),
+
     // Audio repair pipeline (round 8) — the EXECUTION step the planning
     // censuses (q59 trim / q66 resample / q72 gain) only report on: per
     // clip, decode at the container rate, trim endpoint silence, gate on
@@ -3452,6 +3529,94 @@ object SparkEntry {
          |  CAST((token_offset + GREATEST(subword_tokens, 1) - 1) // 2048
          |    > token_offset // 2048 AS BIGINT) AS crosses_chunk
          |FROM o""".stripMargin
+    },
+
+    // every cluster by id arithmetic: true index via the dur-mismatch
+    // rule, tone = 220 + i%880, container rate from the generator's sr
+    // arithmetic; Spark must reproduce it from the payloads alone
+    "q83_audio_content_dedup" ->
+      s"""WITH t AS (
+         | SELECT clip_id, codec,
+         |   CASE WHEN dur_ms <> 200 + (p * 37) % 9800 THEN p + 1 ELSE p END
+         |     AS i
+         | FROM (SELECT clip_id, codec, dur_ms,
+         |         CAST(substr(clip_id, 6) AS BIGINT) AS p FROM $clips)
+         | WHERE p % 5000 <> 17),
+         |e AS (
+         | SELECT clip_id, codec,
+         |   CASE WHEN i % 10 < 6 THEN 16000
+         |        ELSE [8000, 22050, 44100, 48000][CAST((i // 10) % 4 AS INT)
+         |          + 1] END AS sr,
+         |   'tone:' || CAST(220 + i % 880 AS VARCHAR) || ':d1' AS fingerprint
+         | FROM t)
+         |SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_clips,
+         |  CAST(COUNT(DISTINCT codec) AS BIGINT) AS n_codecs,
+         |  CAST(COUNT(DISTINCT sr) AS BIGINT) AS n_rates,
+         |  MIN(clip_id) AS keeper_id
+         |FROM e WHERE NOT (codec = 'adpcm_ima' AND sr = 8000)
+         |GROUP BY fingerprint""".stripMargin,
+
+    // the full loop replayed: committed-vocab tokenization (q80's
+    // recursive strip), per-source totals, budget = corpus // 2, dyadic
+    // rates LEAST(budget·p / tokens, 16.0) — bit-identical doubles by
+    // construction — then q63's md5 survival arithmetic over 16 copies
+    "q82_subword_budget_mix" -> {
+      val vocList = bpeVocabFor(sfDir)
+        .map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+      s"""WITH RECURSIVE
+         |voc(tok) AS (SELECT unnest([$vocList])),
+         |w(word) AS (
+         | SELECT DISTINCT unnest(str_split(text, ' '))
+         | FROM documents WHERE text IS NOT NULL),
+         |tk(word, rest, n) AS (
+         | SELECT word, word, 0 FROM w
+         | UNION ALL
+         | SELECT word, substr(rest, length(best) + 1), n + 1
+         | FROM (
+         |   SELECT word, rest, n,
+         |     COALESCE((SELECT tok FROM voc WHERE starts_with(rest, tok)
+         |               ORDER BY length(tok) DESC, tok LIMIT 1),
+         |              substr(rest, 1, 1)) AS best
+         |   FROM tk WHERE rest <> '')),
+         |wn AS (SELECT word, MAX(n) AS toks FROM tk GROUP BY word),
+         |wst AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+         |        FROM documents WHERE text IS NOT NULL),
+         |dc0 AS (SELECT wst.doc_id, CAST(SUM(wn.toks) AS BIGINT) AS t
+         |        FROM wst JOIN wn ON wst.word = wn.word GROUP BY wst.doc_id),
+         |dc AS (SELECT d.doc_id, d.source, COALESCE(dc0.t, 0) AS toks
+         |       FROM documents d LEFT JOIN dc0 ON d.doc_id = dc0.doc_id),
+         |bud AS (SELECT SUM(toks) // 2 AS b FROM dc),
+         |st AS (SELECT source, COUNT(*) AS in_rows,
+         |         CAST(SUM(toks) AS BIGINT) AS in_tokens
+         |       FROM dc GROUP BY source),
+         |rates AS (
+         | SELECT st.source,
+         |   LEAST(CAST(bud.b AS DOUBLE)
+         |     * (CASE st.source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+         |        WHEN 'src2' THEN 0.125 WHEN 'src3' THEN 0.125 END)
+         |     / st.in_tokens, 16.0) AS r
+         | FROM st CROSS JOIN bud
+         | WHERE st.source IN ('src0', 'src1', 'src2', 'src3')),
+         |e AS (
+         | SELECT dc.source, dc.toks, k.k, COALESCE(r.r, 0.0) AS r,
+         |   CAST(CONCAT('0x', substr(md5(CAST(dc.doc_id AS VARCHAR)
+         |     || ':mix:' || CAST(k.k AS VARCHAR)), 1, 15)) AS BIGINT)
+         |     / 1152921504606846976.0 AS u
+         | FROM dc
+         | CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k
+         | LEFT JOIN rates r ON dc.source = r.source),
+         |o AS (
+         | SELECT source,
+         |   CAST(SUM(CASE WHEN u < r - k THEN 1 ELSE 0 END) AS BIGINT)
+         |     AS out_rows,
+         |   CAST(COALESCE(SUM(CASE WHEN u < r - k THEN toks END), 0)
+         |     AS BIGINT) AS out_tokens
+         | FROM e GROUP BY source)
+         |SELECT st.source, CAST(st.in_rows AS BIGINT) AS in_rows,
+         |  st.in_tokens,
+         |  COALESCE(o.out_rows, 0) AS out_rows,
+         |  COALESCE(o.out_tokens, 0) AS out_tokens
+         |FROM st LEFT JOIN o ON st.source = o.source""".stripMargin
     },
 
     // every repair action a pure function of (id arithmetic, container
