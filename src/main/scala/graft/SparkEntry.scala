@@ -1677,6 +1677,27 @@ object SparkEntry {
         .withColumn("crosses_chunk", col("crosses_chunk").cast("long"))
     }),
 
+    // Subword heavy hitters (round 8) — q64's boilerplate census at the
+    // granularity the tokenizer actually trains on: which SUBWORD tokens
+    // dominate the corpus (a vocabulary-coverage/boilerplate signal a
+    // word-level census cannot see — a subword shared by many words
+    // aggregates mass no single word carries). Composition: the exploded
+    // BPE token stream through the exact Misra–Gries two-pass; output
+    // EXACT at any k. The oracle re-tokenizes distinct words with the
+    // committed vocabulary, carrying each taken token through the
+    // recursive strip, and runs the naive count.
+    "q85_subword_heavy_hitters" -> ((s, dir) => {
+      import graft.sketch.HeavyHitters
+      import graft.text.BpeTokenizer
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val train = docs.where(col("doc_id") % 4 < 3)
+      val freqs = BpeTokenizer.wordFreqs(train, "text")
+      val voc = BpeTokenizer.vocab(freqs,
+        BpeTokenizer.trainMerges(freqs, numMerges = 60))
+      val toks = BpeTokenizer.subwordTokens(docs, "doc_id", "text", voc)
+      HeavyHitters.overThreshold(toks, "token", threshold = 400L, k = 64)
+    }),
+
     // Audio CONTENT dedup (round 8) — the audio twin of exact text dedup,
     // which no byte- or id-level check can see: the same recording
     // re-encoded through another codec/container/rate shares no bytes
@@ -1710,6 +1731,65 @@ object SparkEntry {
         .where(id % 5000 =!= 17)
         .where(!(col("codec") === "adpcm_ima" && srTrue === 8000))
       graft.audio.ContentFingerprint.dedupReport(base)
+    }),
+
+    // Resumable repair WRITE path (round 8) — q77's repair as a
+    // production write: an interrupted run (two codec partitions) leaves
+    // manifest entries, the resume re-processes ONLY the remaining three
+    // (content-fingerprint diff — the q41 machinery generalized to
+    // transform-writes), and a third run is a metadata no-op. The repaired
+    // table is written partitioned by INPUT codec with dynamic overwrite;
+    // output counts are read back from the written files so the decode
+    // UDF runs exactly once per row; and the final report re-censuses the
+    // WRITTEN bytes — every written row must band nominal. The oracle
+    // predicts per-partition totals/drops/writes from the q77 action
+    // arithmetic plus the act structure.
+    "q86_repair_resume" -> ((s, dir) => {
+      import graft.audio.AudioRepair
+      import graft.checkpoint.ManifestCheckpoint
+      import graft.validate.QualityCensus
+      val n = clipCount(dir)
+      val input = repairInput(s, dir)
+      val base = s"${OracleTables.ScratchRoot}/graft-repair/n$n"
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      catch { case _: java.io.IOException => }
+      val manifestDir = s"$base/manifest"
+      val outDir = s"$base/out"
+      def repairXf(slice: DataFrame): DataFrame =
+        AudioRepair.repairFrame(slice)
+          .where(col("action") === "repaired")
+          .select(col("clip_id"), col("repaired_bytes").as("bytes"),
+            lit(AudioRepair.DefaultTargetSr).as("sr_hz"),
+            (col("repaired_samples").cast("long") * 1000L /
+              AudioRepair.DefaultTargetSr).cast("int").as("dur_ms"),
+            lit("pcm_s16le").as("codec"), col("transcript"), col("_part"))
+      val run1 = ManifestCheckpoint.runResumableTransform(s,
+        input.where(col("codec").isin("pcm_s16le", "flac")), "codec",
+        manifestDir, outDir)(repairXf)
+      require(run1.toSet == Set("pcm_s16le", "flac"),
+        s"interrupted run repaired $run1")
+      val run2 = ManifestCheckpoint.runResumableTransform(s, input, "codec",
+        manifestDir, outDir)(repairXf)
+      require(run2.toSet == Set("pcm_mulaw", "pcm_alaw", "adpcm_ima"),
+        s"resume must repair exactly the remaining partitions, got $run2")
+      val run3 = ManifestCheckpoint.runResumableTransform(s, input, "codec",
+        manifestDir, outDir)(repairXf)
+      require(run3.isEmpty, s"completed manifest must no-op: $run3")
+      val written = s.read.parquet(s"$outDir/data")
+      val nominal = written
+        .withColumn("_st", QualityCensus.statsUdf(col("bytes"), col("codec")))
+        .where(QualityCensus.bandCol(col("_st")) === "nominal")
+        .groupBy(col("partition_value"))
+        .agg(count(lit(1)).as("written_nominal"))
+      ManifestCheckpoint.latestEntries(s.read.parquet(manifestDir))
+        .select(col("partition_value"), col("total_rows"),
+          col("error_rows"), col("valid_rows"),
+          when(col("partition_value").isin(run1: _*), 1).otherwise(2)
+            .as("validated_in_run"),
+          lit(run3.isEmpty).as("resume_noop"))
+        .join(nominal, Seq("partition_value"), "left_outer")
+        .withColumn("written_nominal",
+          coalesce(col("written_nominal"), lit(0L)))
     }),
 
     // Subword-budget mixture (round 8) — the full planning→execution loop
@@ -1752,6 +1832,30 @@ object SparkEntry {
         .select(col("source"), col("in_rows"), col("in_tokens"),
           coalesce(col("out_rows"), lit(0L)).as("out_rows"),
           coalesce(col("out_tokens"), lit(0L)).as("out_tokens"))
+    }),
+
+    // CCNet perplexity buckets (round 8) — the published pipeline step
+    // q79's scorer feeds: label every doc head/middle/tail by where its
+    // bits-per-ngram ratio falls against the TERCILES of the held-out
+    // val band (CCNet buckets a corpus against a clean reference
+    // distribution; head = least surprising). Thresholds are exact order
+    // statistics under (ratio, doc_id) ordering, carried as integer
+    // (bits, ngrams) pairs so bucket edges compare by exact
+    // cross-multiplication — no float boundary anywhere.
+    "q84_perplexity_buckets" -> ((s, dir) => {
+      import graft.text.NgramLm
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val split = graft.sample.Sampling.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      val train = split.where(col("split") === "train")
+        .select("doc_id", "text")
+      val model = NgramLm.train(train, "text", minCount = 2L)
+      // score once; the ref ranking and the bucketing pass both read it
+      val scored = NgramLm.score(docs, "doc_id", "text", model,
+        loBits = 3L, hiBits = 7L).localCheckpoint()
+      val ref = scored.join(
+        split.where(col("split") === "val").select("doc_id"), Seq("doc_id"))
+      NgramLm.perplexityBuckets(scored, "doc_id", ref)
     }),
 
     // Audio repair pipeline (round 8) — the EXECUTION step the planning
@@ -3531,6 +3635,68 @@ object SparkEntry {
          |FROM o""".stripMargin
     },
 
+    // per-partition totals/drops/writes from the q77 action arithmetic;
+    // the act structure (which run validated which partition, final
+    // no-op) and the all-nominal written census are pure predictions
+    "q86_repair_resume" ->
+      s"""WITH acts AS (SELECT
+         |    CASE WHEN m IN (37, 41, 53, 61, 27) THEN 'pcm_s16le'
+         |      ELSE codec END AS partition_value,
+         |    CASE WHEN m = 41 THEN 'drop_all_silence'
+         |         WHEN m = 53 THEN 'drop_would_clip'
+         |         WHEN m = 27 THEN 'drop_clipped'
+         |         WHEN m IN (37, 61) THEN 'repaired'
+         |         WHEN m = 17 AND codec = 'flac' THEN 'drop_undecodable'
+         |         WHEN m = 17 AND codec = 'pcm_mulaw' THEN 'drop_clipped'
+         |         WHEN m = 17 AND codec = 'pcm_alaw' THEN 'drop_dc_bias'
+         |         ELSE 'repaired' END AS action
+         |  FROM (SELECT codec,
+         |          CAST(substr(clip_id, 6) AS BIGINT) % 5000 AS m
+         |        FROM $clips)
+         |  WHERE NOT (m = 17 AND codec = 'adpcm_ima'))
+         |SELECT partition_value,
+         |  CAST(COUNT(*) AS BIGINT) AS total_rows,
+         |  CAST(SUM(CASE WHEN action <> 'repaired' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS error_rows,
+         |  CAST(SUM(CASE WHEN action = 'repaired' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS valid_rows,
+         |  CASE WHEN partition_value IN ('pcm_s16le', 'flac') THEN 1
+         |    ELSE 2 END AS validated_in_run,
+         |  TRUE AS resume_noop,
+         |  CAST(SUM(CASE WHEN action = 'repaired' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS written_nominal
+         |FROM acts GROUP BY partition_value""".stripMargin,
+
+    // the recursive strip carries each TAKEN token (the base row takes
+    // none), so distinct-word tokenization yields the full per-word
+    // token multiset; joined to the word stream, the naive count is the
+    // oracle the exact sketch-then-confirm pass must reproduce
+    "q85_subword_heavy_hitters" -> {
+      val vocList = bpeVocabFor(sfDir)
+        .map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+      s"""WITH RECURSIVE
+         |voc(tok) AS (SELECT unnest([$vocList])),
+         |w(word) AS (
+         | SELECT DISTINCT unnest(str_split(text, ' '))
+         | FROM documents WHERE text IS NOT NULL),
+         |tk(word, rest, n, took) AS (
+         | SELECT word, word, 0, CAST(NULL AS VARCHAR) FROM w
+         | UNION ALL
+         | SELECT word, substr(rest, length(best) + 1), n + 1, best
+         | FROM (
+         |   SELECT word, rest, n,
+         |     COALESCE((SELECT tok FROM voc WHERE starts_with(rest, tok)
+         |               ORDER BY length(tok) DESC, tok LIMIT 1),
+         |              substr(rest, 1, 1)) AS best
+         |   FROM tk WHERE rest <> '')),
+         |wt AS (SELECT word, took AS token FROM tk WHERE took IS NOT NULL),
+         |ws AS (SELECT unnest(str_split(text, ' ')) AS word
+         |       FROM documents WHERE text IS NOT NULL)
+         |SELECT wt.token, CAST(COUNT(*) AS BIGINT) AS occurrences
+         |FROM ws JOIN wt ON ws.word = wt.word
+         |GROUP BY wt.token HAVING COUNT(*) >= 400""".stripMargin
+    },
+
     // every cluster by id arithmetic: true index via the dur-mismatch
     // rule, tone = 220 + i%880, container rate from the generator's sr
     // arithmetic; Spark must reproduce it from the payloads alone
@@ -3618,6 +3784,73 @@ object SparkEntry {
          |  COALESCE(o.out_tokens, 0) AS out_tokens
          |FROM st LEFT JOIN o ON st.source = o.source""".stripMargin
     },
+
+    // the q79 model chain without plants, then the exact tercile
+    // machinery: rank the md5 val band by (double ratio, doc_id) — both
+    // engines compute the one-division ratio identically — pick ranks
+    // ceil(n/3)/ceil(2n/3), bucket by integer cross-multiplication
+    "q84_perplexity_buckets" ->
+      """WITH tbi AS (
+        | SELECT toks[i] AS w1, toks[i + 1] AS w2
+        | FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |       FROM (SELECT str_split(text, ' ') AS toks FROM documents
+        |             WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS
+        |               VARCHAR) || ':split'), 1, 15)) AS BIGINT)
+        |               / 1152921504606846976.0 < 0.75)
+        |       WHERE len(toks) >= 2)),
+        |big AS (SELECT w1, w2, COUNT(*) AS c FROM tbi
+        |        GROUP BY w1, w2 HAVING COUNT(*) >= 2),
+        |ctx AS (SELECT w1, COUNT(*) AS c FROM tbi
+        |        GROUP BY w1 HAVING COUNT(*) >= 2),
+        |voc AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |        (SELECT unnest(str_split(text, ' ')) AS w FROM documents
+        |         WHERE CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        |           || ':split'), 1, 15)) AS BIGINT)
+        |           / 1152921504606846976.0 < 0.75)),
+        |sbi AS (
+        | SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        | FROM (SELECT doc_id, toks,
+        |         unnest(generate_series(1, len(toks) - 1)) AS i
+        |       FROM (SELECT doc_id, str_split(text, ' ') AS toks
+        |             FROM documents)
+        |       WHERE len(toks) >= 2)),
+        |sco AS (
+        | SELECT s.doc_id,
+        |   length(bin((COALESCE(x.c, 0) + voc.v)
+        |     // (COALESCE(b.c, 0) + 1))) - 1 AS bits
+        | FROM sbi s
+        | LEFT JOIN big b ON s.w1 = b.w1 AND s.w2 = b.w2
+        | LEFT JOIN ctx x ON s.w1 = x.w1
+        | CROSS JOIN voc),
+        |agg AS (SELECT doc_id, COUNT(*) AS ngrams,
+        |          CAST(SUM(bits) AS BIGINT) AS bits
+        |        FROM sco GROUP BY doc_id),
+        |sc AS (SELECT p.doc_id, COALESCE(a.ngrams, 0) AS ngrams,
+        |         COALESCE(a.bits, 0) AS bits
+        |       FROM documents p LEFT JOIN agg a ON p.doc_id = a.doc_id),
+        |ref AS (
+        | SELECT doc_id, ngrams, bits,
+        |   CAST(bits AS DOUBLE) / ngrams AS r
+        | FROM sc WHERE ngrams > 0 AND
+        |   CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        |     || ':split'), 1, 15)) AS BIGINT)
+        |     / 1152921504606846976.0 >= 0.75 AND
+        |   CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)
+        |     || ':split'), 1, 15)) AS BIGINT)
+        |     / 1152921504606846976.0 < 0.875),
+        |rk AS (SELECT bits, ngrams,
+        |         ROW_NUMBER() OVER (ORDER BY r, doc_id) AS rk FROM ref),
+        |nn AS (SELECT COUNT(*) AS n FROM ref),
+        |t1 AS (SELECT bits AS b1, ngrams AS n1 FROM rk, nn
+        |       WHERE rk = (n + 2) // 3),
+        |t2 AS (SELECT bits AS b2, ngrams AS n2 FROM rk, nn
+        |       WHERE rk = (2 * n + 2) // 3)
+        |SELECT sc.doc_id, sc.ngrams, sc.bits,
+        |  CASE WHEN sc.ngrams = 0 THEN 'unscorable'
+        |       WHEN sc.bits * t1.n1 <= t1.b1 * sc.ngrams THEN 'head'
+        |       WHEN sc.bits * t2.n2 <= t2.b2 * sc.ngrams THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM sc CROSS JOIN t1 CROSS JOIN t2""".stripMargin,
 
     // every repair action a pure function of (id arithmetic, container
     // codec) once the bistable corrupt-adpcm cell is excluded — the

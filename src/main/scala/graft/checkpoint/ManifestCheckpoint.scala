@@ -292,4 +292,70 @@ object ManifestCheckpoint {
     entries.toDF().write.mode(SaveMode.Append).parquet(manifestDir)
     pending
   }
+
+  /** Resumable TRANSFORM-WRITE — the write-path analog of
+    * [[runResumable]]: pending partitions (same content-fingerprint
+    * manifest diff) are sliced, transformed, and written under
+    * `outDir/data/partition_value=<v>/` with dynamic overwrite; manifest
+    * entries record the slice's rows in (`total_rows`), rows the
+    * transform dropped (`error_rows`), and rows written (`valid_rows`).
+    * This is how a repair/normalization pass runs at 100 TB: an
+    * interrupted run leaves completed partitions' manifest entries, the
+    * resume re-processes ONLY what changed or never finished, and a
+    * completed manifest makes re-runs a metadata no-op.
+    *
+    * Transform contract: the slice arrives with a `_part` string column
+    * (the input partition each row belongs to) and the output must carry
+    * it through — the output's rows may change shape and count freely
+    * (that is the point), but each must still say which input partition
+    * produced it. Output counts are read back from the WRITTEN files, so
+    * an expensive transform (a decode UDF) runs exactly once per row. */
+  def runResumableTransform(spark: SparkSession, df: DataFrame,
+      partitionCol: String, manifestDir: String, outDir: String)(
+      transform: DataFrame => DataFrame): Seq[String] = {
+    import spark.implicits._
+    val pendingFps = pendingAgainstManifest(spark,
+      fingerprints(df, partitionCol), manifestDir)
+    val pending = pendingFps.map(_._1)
+    if (pending.isEmpty) return pending
+    val pk = partitionKey(partitionCol)
+    val slice = df.where(pk.isin(pending: _*)).withColumn("_part", pk)
+    val out = transform(slice)
+    require(out.columns.contains("_part"),
+      "transform must preserve the _part partition-label column")
+    val dataRoot = s"$outDir/data"
+    // clear pending dirs first (same rationale and escaping as the
+    // violations write above: dynamic overwrite only replaces partitions
+    // that produce rows, and partition values are percent-escaped on disk)
+    locally {
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val root = new org.apache.hadoop.fs.Path(dataRoot)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      pending.foreach { p =>
+        val d = new org.apache.hadoop.fs.Path(root,
+          ExternalCatalogUtils.getPartitionPathString("partition_value", p))
+        if (fs.exists(d)) fs.delete(d, true)
+      }
+    }
+    out.withColumnRenamed("_part", "partition_value")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("partition_value")
+      .parquet(dataRoot)
+    val now = System.currentTimeMillis()
+    val rowsIn = slice.groupBy(col("_part").as("partition_value"))
+      .agg(count(lit(1)).as("n")).collect() // O(#pending) — narrow scan
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rowsOut = spark.read.parquet(dataRoot)
+      .where(col("partition_value").isin(pending: _*))
+      .groupBy("partition_value").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val entries = pendingFps.map { case (p, cRows, cHash) =>
+      val in = rowsIn.getOrElse(p, 0L)
+      val outN = rowsOut.getOrElse(p, 0L)
+      ManifestEntry(p, cRows, cHash, in, in - outN, outN, now)
+    }
+    entries.toDF().write.mode(SaveMode.Append).parquet(manifestDir)
+    pending
+  }
 }

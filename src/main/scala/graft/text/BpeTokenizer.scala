@@ -105,6 +105,20 @@ object BpeTokenizer {
     out.result()
   }
 
+  /** The exploded subword token stream: one `(idCol, token)` row per
+    * subword occurrence — the input shape for token-level censuses
+    * (heavy hitters, vocabulary coverage). Same scan-local UDF as
+    * [[subwordCounts]]; only (id, token) pairs leave the scan. */
+  def subwordTokens(docs: DataFrame, idCol: String, textCol: String,
+      vocabulary: Seq[String]): DataFrame = {
+    val vocabSet = vocabulary.toSet
+    val toksUdf = udf { text: String =>
+      if (text == null) Array.empty[String]
+      else text.split(" ", -1).flatMap(w => tokenize(w, vocabSet))
+    }
+    docs.select(col(idCol), explode(toksUdf(col(textCol))).as("token"))
+  }
+
   /** Per-doc subword token counts: `(idCol, subword_tokens)` — one
     * scan-local UDF, nothing but the id and a long leave the scan. */
   def subwordCounts(docs: DataFrame, idCol: String, textCol: String,

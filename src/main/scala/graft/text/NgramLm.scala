@@ -70,6 +70,50 @@ object NgramLm {
     NgramModel(bigrams, contexts, vocab)
   }
 
+  /** CCNet-style perplexity bucketing: label every scored doc
+    * `head` / `middle` / `tail` by where its bits-per-ngram ratio falls
+    * against the TERCILES of a reference sample (CCNet buckets a corpus
+    * by LM perplexity against the distribution of a clean reference;
+    * head = least surprising). Exactness discipline:
+    *
+    *  - the tercile thresholds are exact ORDER STATISTICS of the
+    *    reference sample — ranks ceil(n/3) and ceil(2n/3) under
+    *    `(ratio, id)` ordering (the id tiebreak makes selection
+    *    deterministic even when ratios collide);
+    *  - each threshold is carried as its INTEGER `(bits, ngrams)` pair,
+    *    and membership compares by cross-multiplication
+    *    (`bits·n_t ≤ b_t·ngrams`), so bucket edges are exact integer
+    *    arithmetic — no float boundary can disagree between engines.
+    *
+    * `ref` must be a subset of scored rows (same integer columns); only
+    * its `ngrams > 0` rows rank. Scale shape: the rank window sorts the
+    * REFERENCE SAMPLE only — pass a bounded slice (a few-percent md5
+    * sample caps it at any corpus size; CCNet itself thresholds against
+    * a sample) — and the bucketing pass is scan-local integer math.
+    * Returns `(idCol, ngrams, bits, bucket)`. */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+      ref: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scorable = ref.where(col("ngrams") > 0L)
+      .withColumn("_r", col("bits").cast("double") / col("ngrams"))
+    val n = scorable.count()
+    require(n >= 3, s"reference sample has only $n scorable rows")
+    val Seq(k1, k2) = Seq((n + 2) / 3, (2 * n + 2) / 3)
+    val ranked = scorable.withColumn("_rk",
+      row_number().over(Window.orderBy(col("_r"), col(idCol))))
+    val thr = ranked.where(col("_rk") === k1 || col("_rk") === k2)
+      .orderBy("_rk").select("bits", "ngrams")
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // two rows
+    val (b1, n1) = thr(0)
+    val (b2, n2) = if (thr.length > 1) thr(1) else thr(0) // k1 == k2 at n=3
+    scored.select(col(idCol), col("ngrams"), col("bits"))
+      .withColumn("bucket",
+        when(col("ngrams") === 0L, "unscorable")
+          .when(col("bits") * n1 <= lit(b1) * col("ngrams"), "head")
+          .when(col("bits") * n2 <= lit(b2) * col("ngrams"), "middle")
+          .otherwise("tail"))
+  }
+
   /** Score every doc: `(idCol, ngrams, bits, oov_ngrams, band)`.
     * `ngrams` = bigrams scored, `bits` = total Shannon code length,
     * `oov_ngrams` = bigrams unseen in training. Bands (integer-exact):

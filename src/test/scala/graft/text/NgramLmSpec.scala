@@ -97,6 +97,54 @@ class NgramLmSpec extends AnyFunSuite {
       === Set("mid")) // measured [4.6, 5.3] bits/ngram — inside (3, 7)
   }
 
+  test("perplexityBuckets: exact tercile order statistics, integer edges") {
+    import spark.implicits._
+    // six scorable docs with ratios 1, 2, 3, 4, 5, 6 bits/ngram:
+    // k1 = ceil(6/3) = 2 → threshold (2,1); k2 = ceil(12/3) = 4 → (4,1)
+    val scored = Seq((1L, 1L, 1L), (2L, 1L, 2L), (3L, 1L, 3L),
+      (4L, 1L, 4L), (5L, 1L, 5L), (6L, 1L, 6L), (7L, 0L, 0L))
+      .toDF("doc_id", "ngrams", "bits")
+    val out = NgramLm.perplexityBuckets(scored, "doc_id", scored)
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail", 7L -> "unscorable"))
+    // boundary EQUALITY stays in the lower bucket (≤, cross-multiplied):
+    // a doc at exactly 2 bits/ngram with different integers is head
+    val probe = Seq((8L, 3L, 6L)).toDF("doc_id", "ngrams", "bits")
+    val b = NgramLm.perplexityBuckets(probe, "doc_id", scored)
+      .select("bucket").as[String].head()
+    assert(b === "head")
+  }
+
+  test("perplexityBuckets: real-table terciles are balanced and monotone") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "text")
+    val split = Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val m = NgramLm.train(
+      split.where(col("split") === "train").select("doc_id", "text"),
+      "text", minCount = 2L)
+    val scored = NgramLm.score(docs, "doc_id", "text", m, 3L, 7L)
+      .localCheckpoint()
+    val ref = scored.join(
+      split.where(col("split") === "val").select("doc_id"), Seq("doc_id"))
+    val out = NgramLm.perplexityBuckets(scored, "doc_id", ref)
+      .where(col("ngrams") > 0)
+      .withColumn("r", col("bits").cast("double") / col("ngrams"))
+    val byBucket = out.groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min("r").as("lo"), max("r").as("hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // every bucket populated, and the ratio ranges are ordered; exact
+    // balance is NOT asserted — this corpus's ratio distribution is
+    // discrete with heavy ties, and the ≤-edge deterministically pulls
+    // each whole tie group into the lower bucket
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet),
+      byBucket.toString)
+    assert(byBucket("head")._3 <= byBucket("middle")._2 + 1e-12)
+    assert(byBucket("middle")._3 <= byBucket("tail")._2 + 1e-12)
+  }
+
   test("plan: scoring never shuffles the text column") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, s"w$i common tokens here"))
