@@ -1792,6 +1792,36 @@ object SparkEntry {
           coalesce(col("written_nominal"), lit(0L)))
     }),
 
+    // Streaming content dedup (round 8) — q83's acoustic fingerprint at
+    // INGEST time: the same recording arriving re-encoded (different
+    // codec, container, rate — zero shared bytes) is caught as a
+    // duplicate WHILE it streams in, by keying the stateful dup monitor
+    // on the content fingerprint instead of the id. Composition: the
+    // decode+FFT fingerprint UDF is a stateless per-row projection in
+    // front of q35's flatMapGroupsWithState fold; state stays one
+    // (count, last-seen) pair per fingerprint. Same exclusions as q83.
+    "q87_streaming_content_dedup" -> ((s, dir) => {
+      val n = clipCount(dir)
+      val id = expr("CAST(substring(clip_id, 6, 12) AS BIGINT)")
+      val trueI = when(
+        col("dur_ms") =!= (lit(200) + (id * 37) % 9800).cast("int"), id + 1)
+        .otherwise(id)
+      val srTrue = when(trueI % 10 < 6, lit(16000)).otherwise(
+        element_at(array(lit(8000), lit(22050), lit(44100), lit(48000)),
+          ((trueI / 10) % 4).cast("int") + 1))
+      val fpU = udf((b: Array[Byte], c: String) =>
+        graft.audio.ContentFingerprint.fingerprint(b, c))
+      val stream = clipsStream(s, n)
+        .where(id % 5000 =!= 17)
+        .where(!(col("codec") === "adpcm_ima" && srTrue === 8000))
+        .select(fpU(col("bytes"), col("codec")).as("fingerprint"),
+          lit("2024-01-01 00:00:00").cast("timestamp").as("ts"))
+      val counts = graft.streaming.StreamingDedup.duplicateCounts(
+        stream, "fingerprint", "ts")
+      runAvailableNow(counts.toDF(), "q87", "append")
+        .select(col("key").as("fingerprint"), col("dup_count"))
+    }),
+
     // Subword-budget mixture (round 8) — the full planning→execution loop
     // on REAL token counts: tokenize (q80's live-trained BPE), aggregate
     // per-source subword totals, SOLVE the per-source rates for a token
@@ -3634,6 +3664,27 @@ object SparkEntry {
          |    > token_offset // 2048 AS BIGINT) AS crosses_chunk
          |FROM o""".stripMargin
     },
+
+    // q83's cluster arithmetic, duplicates only — the streaming monitor
+    // must surface exactly the multi-clip fingerprints with their counts
+    "q87_streaming_content_dedup" ->
+      s"""WITH t AS (
+         | SELECT clip_id, codec,
+         |   CASE WHEN dur_ms <> 200 + (p * 37) % 9800 THEN p + 1 ELSE p END
+         |     AS i
+         | FROM (SELECT clip_id, codec, dur_ms,
+         |         CAST(substr(clip_id, 6) AS BIGINT) AS p FROM $clips)
+         | WHERE p % 5000 <> 17),
+         |e AS (
+         | SELECT codec,
+         |   CASE WHEN i % 10 < 6 THEN 16000
+         |        ELSE [8000, 22050, 44100, 48000][CAST((i // 10) % 4 AS INT)
+         |          + 1] END AS sr,
+         |   'tone:' || CAST(220 + i % 880 AS VARCHAR) || ':d1' AS fingerprint
+         | FROM t)
+         |SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS dup_count
+         |FROM e WHERE NOT (codec = 'adpcm_ima' AND sr = 8000)
+         |GROUP BY fingerprint HAVING COUNT(*) > 1""".stripMargin,
 
     // per-partition totals/drops/writes from the q77 action arithmetic;
     // the act structure (which run validated which partition, final
