@@ -87,12 +87,34 @@ object SparkEntry {
     * below driver-OOM territory. */
   val MaxStreamingSinkRows = 1000000L
 
+  /** State partitions for the BOUNDED-group streaming monitors (windowed
+    * aggregations over window × codec/band — tens of live groups at any
+    * corpus size, because windows close under the watermark and the
+    * category axes are fixed): sized to the state bound, not the host —
+    * see [[runAvailableNow]]'s scaladoc for the measured rationale.
+    * Key-scale monitors (q35/q87) deliberately do NOT use this. */
+  val BoundedMonitorStateParts = 4
+
   /** Drain a streaming DataFrame through Trigger.AvailableNow into a memory
     * sink and return the sink table — how the q35-q37 streaming queries
     * produce a finite, oracle-comparable result. Sink name and checkpoint
     * are per-invocation (a bench session may run the query after verify). */
+  /** `statePartitions > 0` overrides `spark.sql.shuffle.partitions` for
+    * the DURATION of the streaming query (restored after): a stateful
+    * operator's state-store partition count is fixed to the shuffle
+    * partitions of its first batch, and a monitor whose group cardinality
+    * is BOUNDED small (window × codec, ~tens of live groups) pays one
+    * state-store commit per partition per trigger for zero extra
+    * parallelism — measured r9: q81's 8-trigger replay drops ~8 s → ~3 s
+    * at 4 state partitions (OPTIMIZATION_r09.md). Scale-safe because it
+    * is sized to the operator's STATE BOUND, not to this host: the
+    * map-side work (scans, decode UDFs, partial aggregation) keeps the
+    * input's own parallelism; only the ≤O(groups) merged partials cross
+    * the exchange. Monitors with row-scale key spaces (q35/q87 key on
+    * clip_id/fingerprint) keep the session default. */
   private[graft] def runAvailableNow(df: DataFrame, name: String,
-      mode: String, maxRows: Long = MaxStreamingSinkRows): DataFrame = {
+      mode: String, maxRows: Long = MaxStreamingSinkRows,
+      statePartitions: Int = 0): DataFrame = {
     val s = df.sparkSession
     val sink = s"${name}_${System.nanoTime()}"
     // checkpoint on tmpfs when available: the state store snapshots one
@@ -120,6 +142,9 @@ object SparkEntry {
     if (!sys.env.get("SPARK_GRAFT_STATESTORE").contains("hdfs"))
       s.conf.set(ProviderKey,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val PartsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.getOption(PartsKey)
+    if (statePartitions > 0) s.conf.set(PartsKey, statePartitions.toString)
     try {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(sink)
@@ -158,6 +183,10 @@ object SparkEntry {
       prevProvider match {
         case Some(v) => s.conf.set(ProviderKey, v)
         case None => s.conf.unset(ProviderKey)
+      }
+      prevParts match {
+        case Some(v) => s.conf.set(PartsKey, v)
+        case None => s.conf.unset(PartsKey)
       }
     }
   }
@@ -626,7 +655,8 @@ object SparkEntry {
             coalesce(col("dur_ms").cast("long"), lit(-1L))))
       val rates = graft.streaming.StreamingValidator.violationRateByWindow(
         stream, ClipsGenerator.spec, "ts", "1 hour", "10 minutes")
-      runAvailableNow(rates, "q37", "complete")
+      runAvailableNow(rates, "q37", "complete",
+        statePartitions = BoundedMonitorStateParts)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("codec"), col("total_rows"), col("error_rows"),
@@ -749,7 +779,8 @@ object SparkEntry {
       val mon = graft.streaming.StreamingDrift.monitor(
         stream, "ts", "dur_ms", Seq("codec"), ref,
         windowDuration = "1 hour", watermarkDelay = "10 minutes")
-      runAvailableNow(mon, "q43", "complete")
+      runAvailableNow(mon, "q43", "complete",
+        statePartitions = BoundedMonitorStateParts)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("codec"), col("drifted"))
@@ -1238,7 +1269,8 @@ object SparkEntry {
       val cen = graft.streaming.StreamingCensus.quality(
         stream, "ts", windowDuration = "1 hour",
         watermarkDelay = "10 minutes")
-      runAvailableNow(cen, "q61", "complete")
+      runAvailableNow(cen, "q61", "complete",
+        statePartitions = BoundedMonitorStateParts)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("codec"), col("band"), col("clips"))
@@ -1429,7 +1461,8 @@ object SparkEntry {
         .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val cen = StreamingIngest.classifyCounts(stream, "text", store,
         "ts", windowDuration = "1 hour", watermarkDelay = "10 minutes")
-      runAvailableNow(cen, "q70", "complete")
+      runAvailableNow(cen, "q70", "complete",
+        statePartitions = BoundedMonitorStateParts)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("status"), col("docs"))
@@ -1640,12 +1673,32 @@ object SparkEntry {
         lit("flush").as("k"),
         timestamp_seconds((lit(120) + col("id") * 5) * 60 + 30 + 1767268800L)
           .as("ts"))
+      // replay input on tmpfs when available (the runAvailableNow
+      // checkpoint rationale: syscall-heavy small-file I/O is what this
+      // host throttles; a cluster points this at fast scratch), and
+      // DELETED after the counts materialize — the previous per-invocation
+      // /tmp temp dir leaked a full 6-batch copy of the events table every
+      // run (round-8 advice)
+      val replayRoot =
+        if (new java.io.File("/dev/shm").isDirectory) {
+          val d = new java.io.File("/dev/shm/graft-latereplay")
+          d.mkdirs(); d.toPath
+        } else java.nio.file.Files.createTempDirectory("graft-latereplay")
       val replayDir = java.nio.file.Files
-        .createTempDirectory("graft-latereplay").toString
-      LateReplay.writeBatches(data.unionByName(flush), "batch", "k", "ts",
-        replayDir)
-      LateReplay.windowCounts(s, replayDir, "1 minute", "5 minutes")
-        .where(col("kind") =!= "window" || col("k") =!= "flush")
+        .createTempDirectory(replayRoot, "run").toString
+      try {
+        LateReplay.writeBatches(data.unionByName(flush), "batch", "k", "ts",
+          replayDir)
+        // windowCounts detaches its result from the sink (local rows), so
+        // the replay input can be deleted as soon as it returns
+        LateReplay.windowCounts(s, replayDir, "1 minute", "5 minutes",
+          statePartitions = BoundedMonitorStateParts)
+          .where(col("kind") =!= "window" || col("k") =!= "flush")
+      } finally {
+        try org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(replayDir))
+        catch { case _: Exception => () }
+      }
     }),
 
     // BPE subword packing (round 8) — the token-budget operators re-driven

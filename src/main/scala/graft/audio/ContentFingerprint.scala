@@ -46,41 +46,50 @@ object ContentFingerprint {
   def estimateFreqHz(samples: Array[Short], srHz: Int): Double =
     Spectral.dominantFreqHz(samples, srHz, minHz = 50.0)
 
-  /** Content fingerprint of one payload: `tone:<hz>:d<bin>`, or
-    * `undecodable` / `silence` / `short` for payloads with no tonal
-    * content identity. Pure function of the bytes — the same signal
-    * through any codec/container/rate lands the same string. */
-  def fingerprint(bytes: Array[Byte], codec: String): String = {
+  /** Content fingerprint of one payload PLUS its decoded container rate,
+    * from exactly ONE decode: `(fingerprint, rate)` where the fingerprint
+    * is `tone:<hz>:d<bin>`, or `undecodable` / `silence` / `short` for
+    * payloads with no tonal content identity, and the rate is the
+    * container sample rate (0 when undecodable). Pure function of the
+    * bytes — the same signal through any codec/container/rate lands the
+    * same string. The decode is the dominant per-row cost of a full-table
+    * census, so callers needing both facts MUST use this form rather than
+    * decoding twice (round-8 verdict #2; ContentFingerprintSpec pins the
+    * equivalence). */
+  def fingerprintWithRate(bytes: Array[Byte], codec: String): (String, Int) = {
     val decoded =
       try Some(AudioCodec.decode(bytes, codec))
       catch { case _: Exception => None }
     decoded match {
-      case None => "undecodable"
+      case None => ("undecodable", 0)
       case Some((sr, samples)) =>
-        if (samples.length < 8) "short"
-        else {
-          val est = estimateFreqHz(samples, sr)
-          if (est.isNaN) "short"
-          else if (est <= 0.0) "silence"
+        val fp =
+          if (samples.length < 8) "short"
           else {
-            val durBin = math.round(samples.length * 1000.0 / sr / 25.0)
-            s"tone:${math.round(est)}:d$durBin"
+            val est = estimateFreqHz(samples, sr)
+            if (est.isNaN) "short"
+            else if (est <= 0.0) "silence"
+            else {
+              val durBin = math.round(samples.length * 1000.0 / sr / 25.0)
+              s"tone:${math.round(est)}:d$durBin"
+            }
           }
-        }
+        (fp, sr)
     }
   }
+
+  /** Fingerprint only — see [[fingerprintWithRate]]. */
+  def fingerprint(bytes: Array[Byte], codec: String): String =
+    fingerprintWithRate(bytes, codec)._1
 
   /** Duplicate-content census: per fingerprint, how many clips carry that
     * content, across how many distinct codecs and container rates, and
     * the canonical keeper (min clip_id) — the removal set is every
-    * non-keeper row of a multi-clip fingerprint. */
+    * non-keeper row of a multi-clip fingerprint. ONE decode per row
+    * ([[fingerprintWithRate]]). */
   def dedupReport(clips: DataFrame): DataFrame = {
     val fpUdf = udf { (bytes: Array[Byte], codec: String) =>
-      val fp = fingerprint(bytes, codec)
-      val sr =
-        try AudioCodec.decode(bytes, codec)._1
-        catch { case _: Exception => 0 }
-      (fp, sr)
+      fingerprintWithRate(bytes, codec)
     }
     clips
       .withColumn("_fp", fpUdf(col("bytes"), col("codec")))

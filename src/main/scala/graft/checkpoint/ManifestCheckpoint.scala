@@ -346,14 +346,23 @@ object ManifestCheckpoint {
     val rowsIn = slice.groupBy(col("_part").as("partition_value"))
       .agg(count(lit(1)).as("n")).collect() // O(#pending) — narrow scan
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // cast the partition column to string BEFORE collecting: Spark's
+    // partition-type inference turns a numeric-looking partition value
+    // (e.g. a sample rate) into an int, and a bare getString would throw
+    // ClassCastException mid-manifest-write (round-8 advice)
     val rowsOut = spark.read.parquet(dataRoot)
+      .select(col("partition_value").cast("string").as("partition_value"))
       .where(col("partition_value").isin(pending: _*))
       .groupBy("partition_value").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val entries = pendingFps.map { case (p, cRows, cHash) =>
       val in = rowsIn.getOrElse(p, 0L)
       val outN = rowsOut.getOrElse(p, 0L)
-      ManifestEntry(p, cRows, cHash, in, in - outN, outN, now)
+      // error_rows = rows the transform DROPPED, clamped at zero: the
+      // transform contract lets output counts grow freely, and a negative
+      // "drop count" in the manifest would misread downstream (round-8
+      // advice; only meaningful for row-filtering transforms)
+      ManifestEntry(p, cRows, cHash, in, math.max(0L, in - outN), outN, now)
     }
     entries.toDF().write.mode(SaveMode.Append).parquet(manifestDir)
     pending

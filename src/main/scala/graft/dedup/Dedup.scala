@@ -340,14 +340,29 @@ object Dedup {
   }
 
   /** MinHash LSH near-dup pairs, verified with exact shingle Jaccard:
-    * (id_a, id_b, jaccard). The verify join re-reads only (id, text). */
+    * (id_a, id_b, jaccard). The verify join re-reads only (id, text) —
+    * and only for CANDIDATE rows: the exact-Jaccard stage needs shingle
+    * SETS (the O(len²) `array_distinct` per row) only for ids appearing
+    * in some LSH candidate pair, a tiny fraction of the corpus, so the
+    * candidate-id set (materialized ids-only via `localCheckpoint`, the
+    * cascade lineage discipline) is broadcast as a left-semi prefilter
+    * under the set projection (guide §3.2's semi-join shape). The
+    * previous form computed shingle sets for EVERY corpus row and fed
+    * them into both verify joins — two full-corpus set materializations
+    * whose rows were then almost all discarded (measured r9: see
+    * OPTIMIZATION_r09.md). Candidate ids are pair-bounded; a corpus whose
+    * candidate set outgrows broadcast needs the Bloom-prefilter variant
+    * instead (the decontaminateBloom shape). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleLen: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes,
-      bands, maxBucketSize)
+      bands, maxBucketSize).localCheckpoint()
+    val candIds = cands.select(col("id_a").as(idCol))
+      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
     val sh = ensureParallelism(df)
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
       .select(col(idCol), shingleSet(col(textCol), shingleLen).as("_sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
@@ -686,8 +701,13 @@ object Dedup {
         .join(labels.select(col("node").as("dst"), col("label").as("_nl")),
           Seq("dst"))
         .groupBy(col("src").as("node")).agg(min(col("_nl")).as("_mn"))
+      // the pre-round label rides along as _old so the convergence answer
+      // can be observed off the SAME materialization below — the previous
+      // separate convergence join + isEmpty action cost one extra job per
+      // round (round 9; results identical, the label math is unchanged)
       val stepped = labels.join(nbrMin, Seq("node"), "left_outer")
-        .select(col("node"), least(col("label"), col("_mn")).as("label"))
+        .select(col("node"), col("label").as("_old"),
+          least(col("label"), col("_mn")).as("label"))
         .localCheckpoint() // referenced twice by the compression self-join
       // path compression: label := label(label). Every label is an
       // existing node's id (starts as own id; only ever replaced by other
@@ -695,14 +715,22 @@ object Dedup {
       // is deliberate belt-and-braces: if that invariant ever broke, an
       // inner join would silently DROP the node, strictly worse than
       // keeping its uncompressed label
+      val obs = org.apache.spark.sql.Observation()
       val compressed = stepped
         .join(stepped.select(col("node").as("label"), col("label").as("_ll")),
           Seq("label"), "left_outer")
-        .select(col("node"), coalesce(col("_ll"), col("label")).as("label"))
+        .select(col("node"), col("_old"),
+          coalesce(col("_ll"), col("label")).as("label"))
+        .observe(obs,
+          sum(when(col("label") =!= col("_old"), 1L).otherwise(0L))
+            .as("_changed"))
+        .drop("_old")
         .localCheckpoint()
-      converged = compressed
-        .join(labels.withColumnRenamed("label", "_old"), Seq("node"))
-        .where(col("label") =!= col("_old")).isEmpty
+      // the checkpoint above IS the action the Observation rode; a NULL
+      // sum means zero rows (possible only on an empty graph, already
+      // handled by the loop guard) — read it as converged
+      converged = Option(obs.get.apply("_changed"))
+        .forall(_.asInstanceOf[Long] == 0L)
       labels = compressed
       it += 1
     }

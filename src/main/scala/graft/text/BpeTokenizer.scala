@@ -88,15 +88,17 @@ object BpeTokenizer {
     (freqs.flatMap(_._1.map(_.toString)) ++ merges.map { case (a, b) => a + b })
       .distinct.sorted
 
-  /** Greedy longest-prefix tokenization; unseen characters fall back to
-    * single-character tokens, so every word tokenizes. */
-  def tokenize(word: String, vocabSet: Set[String]): Seq[String] = {
-    if (word.isEmpty) return Nil
-    val maxLen = if (vocabSet.isEmpty) 1 else vocabSet.iterator.map(_.length).max
-    val out = Seq.newBuilder[String]
+  /** Greedy strip with the max vocab-token length precomputed — the inner
+    * kernel of [[tokenize]] and [[TokenMemo]]. The naive form recomputed
+    * `max(vocab token length)` — an O(|vocab|) scan — on EVERY word call,
+    * which dominated the scoring UDF (measured r9: see OPTIMIZATION_r09). */
+  private def tokenizeWith(word: String, vocabSet: Set[String],
+      maxVocabLen: Int): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    val out = Array.newBuilder[String]
     var i = 0
     while (i < word.length) {
-      var l = math.min(maxLen, word.length - i)
+      var l = math.min(maxVocabLen, word.length - i)
       while (l > 1 && !vocabSet.contains(word.substring(i, i + l))) l -= 1
       // l == 1 is always taken: vocab char or the single-char fallback
       out += word.substring(i, i + l)
@@ -105,16 +107,49 @@ object BpeTokenizer {
     out.result()
   }
 
+  /** Greedy longest-prefix tokenization; unseen characters fall back to
+    * single-character tokens, so every word tokenizes. */
+  def tokenize(word: String, vocabSet: Set[String]): Seq[String] = {
+    val maxLen = if (vocabSet.isEmpty) 1 else vocabSet.iterator.map(_.length).max
+    tokenizeWith(word, vocabSet, maxLen).toSeq
+  }
+
+  /** Per-task tokenization kernel: the vocab max-length is computed once
+    * per instance (not per word), and per-WORD results are memoized —
+    * corpus words repeat Zipf-style, so each distinct word tokenizes once
+    * per task instead of once per occurrence (the "memoized distinct-word
+    * variant" the round-8 scaladoc named, realized WITHOUT the
+    * (id, word) shuffle a distinct-word join variant pays — measured
+    * comparison in OPTIMIZATION_r09.md). The cache is `@transient lazy`,
+    * so each deserialized task closure builds its own bounded map; past
+    * `MaxEntries` (an open-vocabulary guard) words tokenize uncached. */
+  private final class TokenMemo(vocabSet: Set[String]) extends Serializable {
+    private val maxLen =
+      if (vocabSet.isEmpty) 1 else vocabSet.iterator.map(_.length).max
+    private val MaxEntries = 1 << 20
+    @transient private lazy val cache =
+      new java.util.HashMap[String, Array[String]](1 << 12)
+    def tokens(word: String): Array[String] = {
+      val hit = cache.get(word)
+      if (hit != null) hit
+      else {
+        val t = tokenizeWith(word, vocabSet, maxLen)
+        if (cache.size < MaxEntries) cache.put(word, t)
+        t
+      }
+    }
+  }
+
   /** The exploded subword token stream: one `(idCol, token)` row per
     * subword occurrence — the input shape for token-level censuses
     * (heavy hitters, vocabulary coverage). Same scan-local UDF as
     * [[subwordCounts]]; only (id, token) pairs leave the scan. */
   def subwordTokens(docs: DataFrame, idCol: String, textCol: String,
       vocabulary: Seq[String]): DataFrame = {
-    val vocabSet = vocabulary.toSet
+    val memo = new TokenMemo(vocabulary.toSet)
     val toksUdf = udf { text: String =>
       if (text == null) Array.empty[String]
-      else text.split(" ", -1).flatMap(w => tokenize(w, vocabSet))
+      else text.split(" ", -1).flatMap(w => memo.tokens(w))
     }
     docs.select(col(idCol), explode(toksUdf(col(textCol))).as("token"))
   }
@@ -123,11 +158,16 @@ object BpeTokenizer {
     * scan-local UDF, nothing but the id and a long leave the scan. */
   def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
       vocabulary: Seq[String]): DataFrame = {
-    val vocabSet = vocabulary.toSet
+    val memo = new TokenMemo(vocabulary.toSet)
     val countUdf = udf { text: String =>
       if (text == null) 0L
-      else text.split(" ", -1).iterator
-        .map(w => tokenize(w, vocabSet).length.toLong).sum
+      else {
+        var s = 0L
+        val ws = text.split(" ", -1)
+        var i = 0
+        while (i < ws.length) { s += memo.tokens(ws(i)).length; i += 1 }
+        s
+      }
     }
     docs.select(col(idCol), countUdf(col(textCol)).as("subword_tokens"))
   }

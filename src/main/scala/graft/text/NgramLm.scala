@@ -86,32 +86,81 @@ object NgramLm {
     *    arithmetic — no float boundary can disagree between engines.
     *
     * `ref` must be a subset of scored rows (same integer columns); only
-    * its `ngrams > 0` rows rank. Scale shape: the rank window sorts the
-    * REFERENCE SAMPLE only — pass a bounded slice (a few-percent md5
-    * sample caps it at any corpus size; CCNet itself thresholds against
-    * a sample) — and the bucketing pass is scan-local integer math.
-    * Returns `(idCol, ngrams, bits, bucket)`. */
+    * its `ngrams > 0` rows rank. Scale shape: the tercile thresholds are
+    * found by DISTRIBUTED order-statistic selection (the q62 two-pass
+    * range-partition discipline) — range-partition the narrow
+    * `(id, bits, ngrams, ratio)` projection by the ranking key, count per
+    * partition (O(partitions) driver prefix), and rank WITHIN only the
+    * partitions that hold the two target ranks — so no task ever sorts
+    * more than one range partition's slice even when the caller passes a
+    * corpus-proportional reference band (NgramLmSpec pins the
+    * no-unpartitioned-window plan shape). The bucketing pass is
+    * scan-local integer math. Returns `(idCol, ngrams, bits, bucket)`. */
   def perplexityBuckets(scored: DataFrame, idCol: String,
       ref: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val s = scored.sparkSession
     val scorable = ref.where(col("ngrams") > 0L)
       .withColumn("_r", col("bits").cast("double") / col("ngrams"))
-    val n = scorable.count()
+    // pass 1: range-partition by the TOTAL order (ratio, id) — ids are
+    // unique, so global rank = rows in earlier partitions + local rank —
+    // and pin the layout (localCheckpoint): the partition counts and the
+    // in-partition rank window below must see identical boundaries
+    val p = math.max(1, s.sparkContext.defaultParallelism)
+    val ranged = scorable
+      .select(col(idCol), col("bits"), col("ngrams"), col("_r"))
+      .repartitionByRange(p, col("_r"), col(idCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_n"))
+      .collect() // O(partitions) — the SequencePacking collect discipline
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
     require(n >= 3, s"reference sample has only $n scorable rows")
     val Seq(k1, k2) = Seq((n + 2) / 3, (2 * n + 2) / 3)
-    val ranked = scorable.withColumn("_rk",
-      row_number().over(Window.orderBy(col("_r"), col(idCol))))
-    val thr = ranked.where(col("_rk") === k1 || col("_rk") === k2)
-      .orderBy("_rk").select("bits", "ngrams")
-      .collect().map(r => (r.getLong(0), r.getLong(1))) // two rows
-    val (b1, n1) = thr(0)
-    val (b2, n2) = if (thr.length > 1) thr(1) else thr(0) // k1 == k2 at n=3
+    // locate each global rank's (partition, local rank) via the exclusive
+    // prefix sum of partition counts
+    val bases = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toMap
+    def locate(k: Long): (Int, Long) = counts.iterator
+      .collectFirst { case (pid, c) if k > bases(pid) && k <= bases(pid) + c =>
+        (pid, k - bases(pid)) }.get
+    val (p1, l1) = locate(k1)
+    val (p2, l2) = locate(k2)
+    // pass 2: rank inside ONLY the partitions holding the targets
+    val wanted = if (p1 == p2) Map(p1 -> Seq(l1, l2).distinct)
+      else Map(p1 -> Seq(l1), p2 -> Seq(l2))
+    val thr = selectByRank(ranged, idCol, wanted)
+      .select(col("_pid"), col("_rk"), col("bits"), col("ngrams"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1).toLong) ->
+        (r.getLong(2), r.getLong(3)))
+      .toMap
+    val (b1, n1) = thr((p1, l1))
+    val (b2, n2) = thr((p2, l2))
     scored.select(col(idCol), col("ngrams"), col("bits"))
       .withColumn("bucket",
         when(col("ngrams") === 0L, "unscorable")
           .when(col("bits") * n1 <= lit(b1) * col("ngrams"), "head")
           .when(col("bits") * n2 <= lit(b2) * col("ngrams"), "middle")
           .otherwise("tail"))
+  }
+
+  /** Within-partition rank selection over a `_pid`-pinned, range-
+    * partitioned frame: returns the rows whose in-partition `(ratio, id)`
+    * rank matches a requested local rank, with the rank as `_rk`. The
+    * window is PARTITIONED by `_pid` (each range partition is one window
+    * group — the sort parallelism is the partition count, never a global
+    * single-task sort; NgramLmSpec pins the plan shape). */
+  private[text] def selectByRank(ranged: DataFrame, idCol: String,
+      wanted: Map[Int, Seq[Long]]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("_pid")).orderBy(col("_r"), col(idCol))
+    val cond = wanted.toSeq.sortBy(_._1).map { case (pid, lrs) =>
+      col("_pid") === pid && col("_rk").isin(lrs: _*) }.reduce(_ || _)
+    ranged.where(col("_pid").isin(wanted.keys.toSeq: _*))
+      .withColumn("_rk", row_number().over(w))
+      .where(cond)
   }
 
   /** Score every doc: `(idCol, ngrams, bits, oov_ngrams, band)`.

@@ -48,6 +48,24 @@ class ContentFingerprintSpec extends AnyFunSuite {
       === "silence")
   }
 
+  test("fingerprintWithRate: ONE decode yields fp ≡ fingerprint AND the " +
+      "container rate (r8 verdict #2)") {
+    for {
+      codec <- Seq("pcm_s16le", "flac", "pcm_mulaw", "pcm_alaw", "adpcm_ima")
+      sr <- Seq(16000, 22050, 44100, 48000)
+    } {
+      val bytes = enc(codec, sr, 440.0)
+      val (fp, rate) = ContentFingerprint.fingerprintWithRate(bytes, codec)
+      assert(fp === ContentFingerprint.fingerprint(bytes, codec))
+      assert(rate === AudioCodec.decode(bytes, codec)._1)
+      assert(rate === sr)
+    }
+    // undecodable payloads report rate 0 (the old double-decode path's
+    // exception fallback, now from the same single decode)
+    assert(ContentFingerprint.fingerprintWithRate(Array[Byte](9, 9, 9),
+      "pcm_s16le") === (("undecodable", 0)))
+  }
+
   test("dedupReport: cross-codec cluster with canonical keeper") {
     import spark.implicits._
     val clips = Seq(

@@ -145,6 +145,57 @@ class NgramLmSpec extends AnyFunSuite {
     assert(byBucket("middle")._3 <= byBucket("tail")._2 + 1e-12)
   }
 
+  test("plan: tercile selection has no unpartitioned window (r8 verdict #1)") {
+    // the reference band is corpus-proportional (q84 feeds the full val
+    // band), so the rank selection must never plan a global single-task
+    // sort: every Window in the selection path is partitioned by the
+    // range-partition id
+    import org.apache.spark.sql.execution.window.WindowExec
+    import spark.implicits._
+    val scorable = (0L until 100L).map(i => (i, i % 7 + 1, i % 13))
+      .toDF("doc_id", "ngrams", "bits")
+      .withColumn("_r", col("bits").cast("double") / col("ngrams"))
+      .repartitionByRange(4, col("_r"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val windows =
+      try NgramLm.selectByRank(scorable, "doc_id",
+        Map(0 -> Seq(1L), 2 -> Seq(3L)))
+        .queryExecution.executedPlan.collect {
+          case w: WindowExec => w.partitionSpec
+        }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(windows.nonEmpty, "selection plan lost its rank window")
+    assert(windows.forall(_.nonEmpty),
+      s"unpartitioned window in tercile selection: $windows")
+    // and the full operator still yields identical buckets to the naive
+    // global-window form on the same input
+    import org.apache.spark.sql.expressions.Window
+    val ranked = scorable.withColumn("_rk",
+      row_number().over(Window.orderBy(col("_r"), col("doc_id"))))
+    val n = scorable.count()
+    val Seq(k1, k2) = Seq((n + 2) / 3, (2 * n + 2) / 3)
+    val naive = ranked.where(col("_rk") === k1 || col("_rk") === k2)
+      .orderBy("_rk").select("bits", "ngrams")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val scored = scorable.select("doc_id", "ngrams", "bits")
+    val buckets = NgramLm.perplexityBuckets(scored, "doc_id", scored)
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val naiveBuckets = scored
+      .withColumn("bucket",
+        when(col("ngrams") === 0L, "unscorable")
+          .when(col("bits") * naive(0)._2 <= lit(naive(0)._1) * col("ngrams"),
+            "head")
+          .when(col("bits") * naive(1)._2 <= lit(naive(1)._1) * col("ngrams"),
+            "middle")
+          .otherwise("tail"))
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(buckets === naiveBuckets)
+  }
+
   test("plan: scoring never shuffles the text column") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, s"w$i common tokens here"))
