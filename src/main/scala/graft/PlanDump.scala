@@ -39,6 +39,37 @@ object PlanDump {
           }
         }
       }
+      // q84's returned frame is detached local rows (the operator executes
+      // eagerly); the plan claim lives in the INTERIOR tercile selection —
+      // dump it separately from the same recipe the query runs
+      if (only.isEmpty || only.contains("q84")) {
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val split = graft.sample.Sampling.assignSplits(docs, "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        val model = graft.text.NgramLm.train(
+          split.where(col("split") === "train").select("doc_id", "text"),
+          "text", minCount = 2L)
+        val scored = graft.text.NgramLm.score(docs, "doc_id", "text", model,
+          loBits = 3L, hiBits = 7L).localCheckpoint()
+        val ref = scored.join(
+          split.where(col("split") === "val").select("doc_id"), Seq("doc_id"))
+        val scorable = ref.where(col("ngrams") > 0L)
+          .withColumn("_r", col("bits").cast("double") / col("ngrams"))
+          .select(col("doc_id"), col("bits"), col("ngrams"), col("_r"))
+          .repartitionByRange(
+            spark.sparkContext.defaultParallelism, col("_r"), col("doc_id"))
+          .withColumn("_pid", spark_partition_id())
+          .localCheckpoint()
+        val sel = graft.text.NgramLm.selectByRank(scorable, "doc_id",
+          Map(0 -> Seq(1L), 2 -> Seq(3L)))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/q84_tercile_selection_$suffix.txt"),
+          sel.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        System.err.println("[plandump] wrote q84_tercile_selection")
+      }
     } finally spark.stop()
   }
 }

@@ -152,7 +152,7 @@ object NgramLm {
     * window is PARTITIONED by `_pid` (each range partition is one window
     * group — the sort parallelism is the partition count, never a global
     * single-task sort; NgramLmSpec pins the plan shape). */
-  private[text] def selectByRank(ranged: DataFrame, idCol: String,
+  private[graft] def selectByRank(ranged: DataFrame, idCol: String,
       wanted: Map[Int, Seq[Long]]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("_pid")).orderBy(col("_r"), col(idCol))
