@@ -1095,21 +1095,22 @@ object Dedup {
     val capped = capBuckets(banded, Seq("_tb"), maxBucketSize)
     val a = capped.select(col("_tb"), col("_id").as("id_a"))
     val b = capped.select(col("_tb"), col("_id").as("id_b"))
-    // candidate pairs materialized ids-only (the minhashNearDups r9
-    // discipline), then the exact-cosine verify reads vectors ONLY for
-    // candidate rows via a broadcast left-semi prefilter — the previous
-    // verify joins shuffled the ENTIRE vector table by id twice (guide
-    // §3.2's semi-join shape; pair-bounded candidate set by the same
-    // argument as minhash)
-    val cands = a.join(b, Seq("_tb"))
+    val candIds = a.join(b, Seq("_tb"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct().localCheckpoint()
-    val candIds = cands.select(col("id_a").as("_id"))
-      .unionByName(cands.select(col("id_b").as("_id"))).distinct()
-    val vecs = base.join(broadcast(candIds), Seq("_id"), "left_semi")
-    cands
-      .join(vecs.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
-      .join(vecs.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))
+      .select("id_a", "id_b").distinct()
+    // NOTE (r9): a minhash-style candidate-id semi-join prefilter was
+    // tried here and REVERTED after measurement — unlike the shingle-set
+    // verify (where the prefilter saves an O(len²) per-row computation
+    // over the whole corpus), vectors are STORED, so there is nothing to
+    // avoid computing; AQE already broadcasts a small candidate side (the
+    // vector table enters no exchange), and when candidates outgrow
+    // broadcast the prefilter's forced broadcast fails exactly where the
+    // plain join degrades gracefully to SMJ. The prefilter only added an
+    // eager materialization job (q18 0.64 → 1.07 s measured). See
+    // OPTIMIZATION_r09.md.
+    candIds
+      .join(base.select(col("_id").as("id_a"), col("_v").as("_va")), Seq("id_a"))
+      .join(base.select(col("_id").as("id_b"), col("_v").as("_vb")), Seq("id_b"))
       .withColumn("cosine", Similarity.cosine(col("_va"), col("_vb")))
       .where(col("cosine") >= cosThreshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
