@@ -352,17 +352,29 @@ object Dedup {
     * whose rows were then almost all discarded (measured r9: see
     * OPTIMIZATION_r09.md). Candidate ids are pair-bounded; a corpus whose
     * candidate set outgrows broadcast needs the Bloom-prefilter variant
-    * instead (the decontaminateBloom shape). */
+    * instead (the decontaminateBloom shape).
+    *
+    * `verifyPrefilter = false` keeps the original lazy single-action plan
+    * (shingle sets computed for every input row): right when the INPUT is
+    * already bounded small by the caller's contract — e.g.
+    * [[incrementalMinhash]]'s append batch — where the prefilter's extra
+    * materialization job outweighs the skipped set computation (measured
+    * r9: q58's ~100-row batch paid 0.45 → 1.0 s under the prefilter;
+    * OPTIMIZATION_r09.md). Identical results either way. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleLen: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleLen, numHashes,
-      bands, maxBucketSize).localCheckpoint()
-    val candIds = cands.select(col("id_a").as(idCol))
-      .unionByName(cands.select(col("id_b").as(idCol))).distinct()
-    val sh = ensureParallelism(df)
-      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      verifyPrefilter: Boolean = true): DataFrame = {
+    val cands0 = minhashCandidates(df, idCol, textCol, shingleLen, numHashes,
+      bands, maxBucketSize)
+    val cands = if (verifyPrefilter) cands0.localCheckpoint() else cands0
+    val sh0 = ensureParallelism(df)
+    val sh = (if (verifyPrefilter) {
+      val candIds = cands.select(col("id_a").as(idCol))
+        .unionByName(cands.select(col("id_b").as(idCol))).distinct()
+      sh0.join(broadcast(candIds), Seq(idCol), "left_semi")
+    } else sh0)
       .select(col(idCol), shingleSet(col(textCol), shingleLen).as("_sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
@@ -987,8 +999,13 @@ object Dedup {
       .agg(min(struct(col("_cid"), col("_j"))).as("_best"))
       .select(col("_id").as(idCol), col("_best._cid").as("_corpus_keeper"),
         col("_best._j").as("_cj"))
+    // verifyPrefilter OFF: the batch is the bounded ingest increment by
+    // this operator's contract — the prefilter's extra materialization
+    // job costs more than it saves on a bounded input (see the
+    // minhashNearDups scaladoc)
     val batchBest = minhashNearDups(batch, idCol, textCol, threshold,
-        shingleLen, numHashes, bands, maxBucketSize)
+        shingleLen, numHashes, bands, maxBucketSize,
+        verifyPrefilter = false)
       .groupBy(col("id_b"))
       .agg(min(struct(col("id_a"), col("jaccard"))).as("_best"))
       .select(col("id_b").as(idCol), col("_best.id_a").as("_batch_keeper"),
@@ -1048,8 +1065,17 @@ object Dedup {
       stages: Seq[(String, DataFrame => DataFrame)]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var survivorIds = df.select(col(idCol)).localCheckpoint()
-    var survivingCount = survivorIds.count()
+    // the initial count and every stage's surviving count ride the SAME
+    // materialization as the checkpoint via an Observation (the
+    // connectedComponents r9 discipline) — a separate count() per stage
+    // was one extra job each, pure bookkeeping over already-checkpointed
+    // ids-only frames
+    def checkpointCounted(ids: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = ids.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get.apply("n").asInstanceOf[Long])
+    }
+    var (survivorIds, survivingCount) = checkpointCounted(df.select(col(idCol)))
     val report = Seq.newBuilder[(String, Long, Long)]
     for ((name, findRemovals) <- stages) {
       val survivors = df.join(survivorIds, Seq(idCol), "left_semi")
@@ -1057,9 +1083,8 @@ object Dedup {
       // duplicate ids cannot double-remove — and the distinct would be one
       // more shuffle per stage
       val removeIds = findRemovals(survivors).select(col(idCol))
-      val keepIds = survivorIds.join(removeIds, Seq(idCol), "left_anti")
-        .localCheckpoint()
-      val kept = keepIds.count()
+      val (keepIds, kept) = checkpointCounted(
+        survivorIds.join(removeIds, Seq(idCol), "left_anti"))
       report += ((name, survivingCount - kept, kept))
       survivingCount = kept
       survivorIds = keepIds
